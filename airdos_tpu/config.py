@@ -1,0 +1,231 @@
+"""Configuration for the SLAM system.
+
+Dataclass mirror of the reference's YAML settings schema so the exact
+reference config files (e.g. Examples/Stereo/config/tartanair.yaml) can be
+ingested unchanged.  Key schema documented from the reference's parser
+(src/Tracking.cc:62-181, src/System.cc:47).  Missing keys default to the
+same implicit values the reference's cv::FileStorage reads produce (zeros),
+except where the reference hard-codes a different default.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+
+@dataclasses.dataclass
+class CameraConfig:
+    fx: float = 0.0
+    fy: float = 0.0
+    cx: float = 0.0
+    cy: float = 0.0
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    width: int = 0
+    height: int = 0
+    fps: float = 30.0
+    bf: float = 0.0          # stereo baseline (m) times fx (px)
+    rgb: int = 1             # 0: BGR, 1: RGB
+
+    @property
+    def baseline(self) -> float:
+        return self.bf / self.fx if self.fx else 0.0
+
+    @property
+    def has_distortion(self) -> bool:
+        return abs(self.k1) > 0 or abs(self.k2) > 0 or abs(self.p1) > 0 or abs(self.p2) > 0
+
+
+@dataclasses.dataclass
+class OrbConfig:
+    n_features: int = 1500
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 12
+    min_th_fast: int = 7
+
+
+@dataclasses.dataclass
+class HumanConfig:
+    ok: bool = False          # Human.OK — enable the dynamic-human pipeline
+    is_seg: bool = False      # Human.isSeg — mask dynamic regions from ORB
+    use_tracked_id: float = 0.0  # Human.UseTrackedId (reference reads a float)
+    reject_th: float = 0.1    # Human.RejectTh — min joint confidence
+
+
+@dataclasses.dataclass
+class OptimizerConfig:
+    # Information weights for the dynamic BA (reference: Tracking.cc:139-156).
+    sigma_static: float = 1.0
+    sigma_human: float = 0.5
+    sigma_motion: float = 20.0
+    sigma_rigidity: float = 20.0
+    th_huber_motion: float = 1.0
+    th_ransac_motion: float = 4.0
+    th_ransac_rigidity: float = 1.0
+    is_huber: bool = True
+    is_keyframe_only: bool = False
+    is_all_kf: bool = False
+    is_static_only: bool = False
+
+
+@dataclasses.dataclass
+class SystemFlags:
+    is_offline: bool = True
+    is_mask: bool = False
+    is_ground_truth_depth: bool = False
+
+
+@dataclasses.dataclass
+class SchedulerConfig:
+    n_start_image: int = 0
+    n_end_image: int = 0      # 0 → whole sequence
+
+
+@dataclasses.dataclass
+class DeviceConfig:
+    """TPU-side static-shape budgets (no analogue in the reference — these
+    bound the padded array shapes every jitted program is compiled for)."""
+    max_keypoints: int = 2048         # padded keypoint slots per image
+    grid_cols: int = 64               # feature grid (reference: Frame.h FRAME_GRID_COLS)
+    grid_rows: int = 48
+    max_local_kfs: int = 32           # local-BA camera window
+    max_fixed_kfs: int = 32
+    max_local_points: int = 4096      # local-BA landmark budget
+    max_obs_per_point: int = 16
+    max_ba_edges: int = 16384
+    max_humans: int = 8               # humans per frame
+    n_joints: int = 18                # AlphaPose joints observed
+    n_skeleton_joints: int = 14       # optimized skeleton joints
+    max_trajectory_len: int = 64      # human poses per trajectory in BA window
+    max_trajectories: int = 8         # trajectories per BA window
+    ransac_hypotheses: int = 512      # vmapped RANSAC batch
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    orb: OrbConfig = dataclasses.field(default_factory=OrbConfig)
+    human: HumanConfig = dataclasses.field(default_factory=HumanConfig)
+    optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    system: SystemFlags = dataclasses.field(default_factory=SystemFlags)
+    scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
+    device: DeviceConfig = dataclasses.field(default_factory=DeviceConfig)
+    th_depth: float = 35.0            # close/far point threshold, × baseline
+    meta_data_path: str = ""
+
+    @property
+    def th_depth_m(self) -> float:
+        """Depth threshold in metres (reference: Tracking.cc mThDepth = bf*ThDepth/fx)."""
+        return self.camera.bf * self.th_depth / self.camera.fx if self.camera.fx else 0.0
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_yaml(cls, path: str | Path) -> "SlamConfig":
+        """Ingest a reference-format YAML settings file verbatim."""
+        raw = _load_opencv_yaml(path)
+
+        def g(key: str, default: Any = 0) -> Any:
+            return raw.get(key, default)
+
+        cfg = cls()
+        cam = cfg.camera
+        cam.fx = float(g("Camera.fx"))
+        cam.fy = float(g("Camera.fy"))
+        cam.cx = float(g("Camera.cx"))
+        cam.cy = float(g("Camera.cy"))
+        cam.k1 = float(g("Camera.k1"))
+        cam.k2 = float(g("Camera.k2"))
+        cam.p1 = float(g("Camera.p1"))
+        cam.p2 = float(g("Camera.p2"))
+        cam.k3 = float(g("Camera.k3"))
+        cam.width = int(g("Camera.width"))
+        cam.height = int(g("Camera.height"))
+        cam.fps = float(g("Camera.fps", 30.0)) or 30.0
+        cam.bf = float(g("Camera.bf"))
+        cam.rgb = int(g("Camera.RGB", 1))
+
+        orb = cfg.orb
+        orb.n_features = int(g("ORBextractor.nFeatures", 1500))
+        orb.scale_factor = float(g("ORBextractor.scaleFactor", 1.2))
+        orb.n_levels = int(g("ORBextractor.nLevels", 8))
+        orb.ini_th_fast = int(g("ORBextractor.iniThFAST", 12))
+        orb.min_th_fast = int(g("ORBextractor.minThFAST", 7))
+
+        hum = cfg.human
+        hum.ok = bool(g("Human.OK"))
+        hum.is_seg = bool(g("Human.isSeg"))
+        hum.use_tracked_id = float(g("Human.UseTrackedId"))
+        hum.reject_th = float(g("Human.RejectTh", 0.1))
+
+        opt = cfg.optimizer
+        opt.sigma_static = float(g("Optimizer.SigmaStatic", 1.0))
+        opt.sigma_human = float(g("Optimizer.SigmaHuman", 1.0))
+        opt.sigma_motion = float(g("Optimizer.SigmaMotion", 1.0))
+        opt.sigma_rigidity = float(g("Optimizer.SigmaRigidity", 1.0))
+        opt.th_huber_motion = float(g("Optimizer.ThHuberMotion", 1.0))
+        opt.th_ransac_motion = float(g("Optimizer.ThRanSacMotion", 4.0))
+        opt.th_ransac_rigidity = float(g("Optimizer.ThRanSacRigidity", 1.0))
+        opt.is_huber = bool(g("Optimizer.IsHuber"))
+        opt.is_keyframe_only = bool(g("Optimizer.IsKeyFrameOnly"))
+        opt.is_all_kf = bool(g("Optimizer.IsAllKF"))
+        opt.is_static_only = bool(g("Optimizer.IsStaticOnly"))
+
+        sysf = cfg.system
+        sysf.is_offline = bool(g("System.IsOffline"))
+        sysf.is_mask = bool(g("System.IsMask"))
+        sysf.is_ground_truth_depth = bool(g("System.IsGroundTruthDepth"))
+
+        sched = cfg.scheduler
+        sched.n_start_image = int(g("Schedular.nStartImage"))
+        sched.n_end_image = int(g("Schedular.nEndImage"))
+
+        cfg.th_depth = float(g("ThDepth", 35.0))
+        cfg.meta_data_path = str(g("Data.MetaDataPath", ""))
+
+        # Keep the padded keypoint budget comfortably above nFeatures.
+        cfg.device.max_keypoints = max(cfg.device.max_keypoints,
+                                       _next_pow2(int(orb.n_features * 1.3)))
+        return cfg
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _load_opencv_yaml(path: str | Path) -> Dict[str, Any]:
+    """Parse an OpenCV FileStorage YAML (the '%YAML:1.0' dialect).
+
+    The reference reads configs with cv::FileStorage; its '%YAML:1.0' header
+    is not valid YAML 1.1, so we parse the flat key: value schema directly.
+    """
+    out: Dict[str, Any] = {}
+    text = Path(path).read_text()
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or line.startswith("%"):
+            continue
+        m = re.match(r"^([A-Za-z0-9_.]+)\s*:\s*(.+)$", line)
+        if not m:
+            continue
+        key, val = m.group(1), m.group(2).strip()
+        if val.startswith('"') and val.endswith('"'):
+            out[key] = val[1:-1]
+            continue
+        try:
+            out[key] = int(val)
+        except ValueError:
+            try:
+                out[key] = float(val)
+            except ValueError:
+                out[key] = val
+    return out
