@@ -135,6 +135,9 @@ class OrbExtractor:
 
     def _extract(self, img: jnp.ndarray, mask: jnp.ndarray) -> OrbFeatures:
         pyr = build_pyramid(img, mask, self.n_levels, self.scale_factor)
+        return self._extract_from_pyramid(pyr)
+
+    def _extract_from_pyramid(self, pyr) -> OrbFeatures:
         out_xy, out_resp, out_ang, out_oct, out_desc = [], [], [], [], []
         for lvl in range(self.n_levels):
             im = pyr.images[lvl]

@@ -1,0 +1,282 @@
+"""Synthetic stereo world for tests and benchmarks.
+
+Renders a static point-sprinkled world plus articulated walking "humans"
+(18-joint skeletons with AlphaPose-style observations), from a known camera
+trajectory — giving ground truth for every quantity the SLAM system
+estimates (camera poses, point depths, joint positions, limb lengths,
+per-human SE(3) motion).  Used in place of TartanAir-Shibuya in
+dataset-free environments.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from airdos_tpu.config import CameraConfig, SlamConfig
+from airdos_tpu.io.datasets import FrameData
+
+# 18-joint AlphaPose/COCO-ish skeleton used by the reference (Map.h:48-56):
+# segment endpoints body1/body2 define the 14 rigid parts.
+BODY1 = np.array([1, 1, 2, 3, 1, 5, 6, 2, 8, 9, 5, 11, 12, 1], np.int32)
+BODY2 = np.array([0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 1], np.int32)
+MAIN_SKELETON = np.array([1, 2, 5, 11, 8], np.int32)
+N_JOINTS = 18
+N_PARTS = 14
+
+# a plausible upright skeleton (x right, y DOWN, z forward), metres
+_SKELETON_REST = np.array([
+    [0.00, -0.70, 0.00],   # 0 nose
+    [0.00, -0.50, 0.00],   # 1 neck
+    [-0.20, -0.50, 0.00],  # 2 r shoulder
+    [-0.25, -0.25, 0.00],  # 3 r elbow
+    [-0.28, 0.00, 0.00],   # 4 r wrist
+    [0.20, -0.50, 0.00],   # 5 l shoulder
+    [0.25, -0.25, 0.00],   # 6 l elbow
+    [0.28, 0.00, 0.00],    # 7 l wrist
+    [-0.12, 0.10, 0.00],   # 8 r hip
+    [-0.14, 0.50, 0.00],   # 9 r knee
+    [-0.15, 0.90, 0.00],   # 10 r ankle
+    [0.12, 0.10, 0.00],    # 11 l hip
+    [0.14, 0.50, 0.00],    # 12 l knee
+    [0.15, 0.90, 0.00],    # 13 l ankle
+    [-0.04, -0.73, 0.00],  # 14 r eye
+    [0.04, -0.73, 0.00],   # 15 l eye
+    [-0.08, -0.70, 0.00],  # 16 r ear
+    [0.08, -0.70, 0.00],   # 17 l ear
+], np.float64)
+
+
+def default_camera() -> CameraConfig:
+    return CameraConfig(fx=320.0, fy=320.0, cx=160.0, cy=120.0,
+                        width=320, height=240, bf=160.0, fps=10.0)
+
+
+@dataclasses.dataclass
+class SyntheticHuman:
+    track_id: int
+    start_pos: np.ndarray       # world position of the neck at t=0
+    velocity: np.ndarray        # m/s, constant (the AirDOS motion model)
+
+    def joints_at(self, t: float) -> np.ndarray:
+        """[18, 3] world joint positions; limbs swing slightly but segment
+        lengths stay constant (rigidity)."""
+        base = self.start_pos + self.velocity * t
+        joints = _SKELETON_REST.copy()
+        joints += base[None, :]
+        return joints
+
+
+class SyntheticStereoWorld:
+    def __init__(self, seed: int = 0, n_points: int = 12000,
+                 cam: Optional[CameraConfig] = None,
+                 n_humans: int = 0,
+                 world_size: Tuple[float, float, float] = (24.0, 8.0, 40.0)):
+        self.rng = np.random.default_rng(seed)
+        self.cam = cam or default_camera()
+        wx, wy, wz = world_size
+        # static landmarks in a corridor along +z
+        self.points = np.stack([
+            self.rng.uniform(-wx / 2, wx / 2, n_points),
+            self.rng.uniform(-wy / 2, wy / 2, n_points),
+            self.rng.uniform(0.5, min(wz, 25.0), n_points),
+        ], axis=1)
+        self.intensity = self.rng.uniform(60, 255, n_points)
+        # physical dot radius (m) -> projected size scales with 1/depth, so
+        # feature appearance is scale-consistent across the pyramid
+        self.phys_radius = self.rng.uniform(0.03, 0.20, n_points)
+        # each dot gets an asymmetric satellite blob (fixed 3-D offset) so
+        # the intensity-centroid orientation is well-defined and
+        # view-consistent — symmetric dots would have noise-driven angles
+        # and uncorrelated descriptors across views
+        dirs = self.rng.standard_normal((n_points, 3))
+        dirs[:, 2] *= 0.1
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        self.sat_offset = dirs * self.phys_radius[:, None] * 0.9
+        self.sat_intensity = np.clip(self.intensity * self.rng.uniform(0.3, 0.6, n_points), 30, 255)
+        self.humans: List[SyntheticHuman] = []
+        for k in range(n_humans):
+            pos = np.array([self.rng.uniform(-3, 3), 0.0, self.rng.uniform(6, 14)])
+            vel = np.array([self.rng.uniform(-0.6, 0.6), 0.0, self.rng.uniform(-0.4, 0.4)])
+            self.humans.append(SyntheticHuman(k, pos, vel))
+
+    # ---------------------------------------------------------------- poses
+    def trajectory(self, n_frames: int, dt: float = 0.1,
+                   speed: float = 0.5, yaw_rate: float = 0.02):
+        """Forward motion with gentle yaw.  Returns (Rwc, twc) lists: pose of
+        camera in world (camera-to-world)."""
+        Rwc, twc = [], []
+        pos = np.zeros(3)
+        yaw = 0.0
+        for i in range(n_frames):
+            c, s = np.cos(yaw), np.sin(yaw)
+            R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            Rwc.append(R)
+            twc.append(pos.copy())
+            pos = pos + R @ np.array([0, 0, speed * dt])
+            yaw += yaw_rate
+        return np.asarray(Rwc), np.asarray(twc)
+
+    # ---------------------------------------------------------------- render
+    def _project(self, Rcw, tcw, pts):
+        xc = (Rcw @ pts.T).T + tcw
+        z = xc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = self.cam.fx * xc[:, 0] / z + self.cam.cx
+            v = self.cam.fy * xc[:, 1] / z + self.cam.cy
+        return u, v, z
+
+    @staticmethod
+    def _value_noise(x: np.ndarray, z: np.ndarray, seed: int,
+                     footprint: Optional[np.ndarray] = None) -> np.ndarray:
+        """Deterministic texture in [0, 1] at world coords.
+
+        The sharp block octave is mip-selected per pixel: block size is the
+        smallest of {0.15 * 2^k} that is at least ~2.5x the pixel footprint,
+        so distant texture never aliases (aliasing would decorrelate the
+        stereo views and poison descriptor matching)."""
+        def hashed(xi, zi, s_off):
+            v = (xi * 73856093) ^ (zi * 19349663) ^ ((seed + s_off) * 83492791)
+            v &= 0xFFFFFFFF
+            v = (v ^ (v >> 13)) * 1274126177 & 0xFFFFFFFF
+            return ((v ^ (v >> 16)) & 0xFF) / 255.0
+
+        out = np.zeros_like(x, dtype=np.float64)
+        # mip-correct sharp blocks
+        base = 0.15
+        if footprint is None:
+            scale = np.full_like(x, base)
+        else:
+            k = np.ceil(np.log2(np.maximum(2.5 * footprint / base, 1.0)))
+            scale = base * np.exp2(np.clip(k, 0, 7))
+        xi = np.floor(x / scale).astype(np.int64)
+        zi = np.floor(z / scale).astype(np.int64)
+        out += 0.6 * hashed(xi, zi, 9)
+        # smooth low-frequency octave for shading variety
+        s = 2.0
+        xs, zs = x / s, z / s
+        xi, zi = np.floor(xs).astype(np.int64), np.floor(zs).astype(np.int64)
+        fx_, fz_ = xs - xi, zs - zi
+        fx_ = fx_ * fx_ * (3 - 2 * fx_)
+        fz_ = fz_ * fz_ * (3 - 2 * fz_)
+        n00, n10 = hashed(xi, zi, 0), hashed(xi + 1, zi, 0)
+        n01, n11 = hashed(xi, zi + 1, 0), hashed(xi + 1, zi + 1, 0)
+        out += 0.4 * ((n00 * (1 - fx_) + n10 * fx_) * (1 - fz_) +
+                      (n01 * (1 - fx_) + n11 * fx_) * fz_)
+        return out
+
+    def _render_view(self, Rcw, tcw):
+        import cv2
+        h, w = self.cam.height, self.cam.width
+        # camera centre and rays in world frame
+        Rwc = Rcw.T
+        ow = -Rwc @ tcw
+        vv, uu = np.mgrid[0:h, 0:w]
+        d_cam = np.stack([(uu - self.cam.cx) / self.cam.fx,
+                          (vv - self.cam.cy) / self.cam.fy,
+                          np.ones_like(uu, np.float64)], axis=-1)
+        d_w = d_cam @ Rwc.T                                   # [h, w, 3]
+
+        img = np.full((h, w), 90.0)
+        # textured ground plane (y = +1.6, below camera) and far wall — dense
+        # stable texture with true parallax for the static feature pipeline;
+        # nearest intersection wins
+        dg = d_w[..., 1]
+        t_ground = np.where(np.abs(dg) > 1e-6, (1.6 - ow[1]) / np.where(np.abs(dg) > 1e-6, dg, 1.0), np.inf)
+        t_ground = np.where(t_ground > 0.05, t_ground, np.inf)
+        dz = d_w[..., 2]
+        t_wall = np.where(np.abs(dz) > 1e-6, (42.0 - ow[2]) / np.where(np.abs(dz) > 1e-6, dz, 1.0), np.inf)
+        t_wall = np.where(t_wall > 0.05, t_wall, np.inf)
+        tpar = np.minimum(t_ground, t_wall)
+        is_ground = t_ground <= t_wall
+        valid = np.isfinite(tpar)
+        tc = np.where(valid, tpar, 1.0)
+        px = ow[0] + tc * d_w[..., 0]
+        py = ow[1] + tc * d_w[..., 1]
+        pz = ow[2] + tc * d_w[..., 2]
+        footprint = tc * np.linalg.norm(d_cam, axis=-1) / self.cam.fx
+        tex_g = self._value_noise(px, pz, seed=7, footprint=footprint)
+        tex_w = self._value_noise(px, py, seed=11, footprint=footprint)
+        shade = 40 + 180 * np.where(is_ground, tex_g, tex_w)
+        img = np.where(valid, shade, img)
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        u, v, z = self._project(Rcw, tcw, self.points)
+        r_px = self.cam.fx * self.phys_radius / np.maximum(z, 1e-3)
+        ok = (z > 0.3) & (u >= -8) & (u < w + 8) & (v >= -8) & (v < h + 8) & (r_px >= 0.8)
+        us, vs, zs = self._project(Rcw, tcw, self.points + self.sat_offset)
+        order = np.argsort(-z[ok])       # far first so near dots overwrite
+        idx = np.nonzero(ok)[0][order]
+        for i in idx:
+            r = max(1, int(round(min(r_px[i], 8.0))))
+            cv2.circle(img, (int(round(u[i])), int(round(v[i]))), r,
+                       float(self.intensity[i]), -1)
+            cv2.circle(img, (int(round(us[i])), int(round(vs[i]))),
+                       max(1, r // 2), float(self.sat_intensity[i]), -1)
+        return img.astype(np.float32)
+
+    def camera_pose_cw(self, Rwc, twc):
+        Rcw = Rwc.T
+        tcw = -Rcw @ twc
+        return Rcw, tcw
+
+    def frame(self, i: int, Rwc: np.ndarray, twc: np.ndarray,
+              timestamp: float, noise_px: float = 0.3,
+              with_humans: bool = True) -> FrameData:
+        """Render a stereo FrameData at the given camera-to-world pose."""
+        Rcw, tcw = self.camera_pose_cw(Rwc, twc)
+        b = self.cam.baseline
+        imL = self._render_view(Rcw, tcw)
+        # right camera: offset +b along camera x  => tcw_r = tcw - [b,0,0]
+        tcw_r = tcw - np.array([b, 0, 0])
+        imR = self._render_view(Rcw, tcw_r)
+
+        humans_l = humans_r = tids = None
+        seg_l = seg_r = None
+        if with_humans and self.humans:
+            h, w = self.cam.height, self.cam.width
+            hl, hr, ids = [], [], []
+            seg_l = np.zeros((h, w), np.uint8)
+            seg_r = np.zeros((h, w), np.uint8)
+            for hu in self.humans:
+                joints = hu.joints_at(timestamp)
+                uL, vL, zL = self._project(Rcw, tcw, joints)
+                uR, vR, zR = self._project(Rcw, tcw_r, joints)
+                if (zL <= 0.3).any() or not ((uL > 0) & (uL < w) & (vL > 0) & (vL < h)).mean() > 0.6:
+                    continue
+                nz = np.random.default_rng(i * 1000 + hu.track_id)
+                obs_l = np.stack([uL + nz.normal(0, noise_px, N_JOINTS),
+                                  vL + nz.normal(0, noise_px, N_JOINTS),
+                                  np.full(N_JOINTS, 0.9)], axis=1)
+                obs_r = np.stack([uR + nz.normal(0, noise_px, N_JOINTS),
+                                  vR + nz.normal(0, noise_px, N_JOINTS),
+                                  np.full(N_JOINTS, 0.9)], axis=1)
+                hl.append(obs_l)
+                hr.append(obs_r)
+                ids.append(hu.track_id)
+                # seg mask box around the person
+                x0, x1 = int(max(0, uL.min() - 5)), int(min(w - 1, uL.max() + 5))
+                y0, y1 = int(max(0, vL.min() - 5)), int(min(h - 1, vL.max() + 5))
+                seg_l[y0:y1, x0:x1] = 255
+                x0, x1 = int(max(0, uR.min() - 5)), int(min(w - 1, uR.max() + 5))
+                seg_r[y0:y1, x0:x1] = 255
+            if hl:
+                humans_l = np.asarray(hl)
+                humans_r = np.asarray(hr)
+                tids = np.asarray(ids)
+            else:
+                humans_l = np.zeros((0, 18, 3))
+                humans_r = np.zeros((0, 18, 3))
+                tids = np.zeros((0,), np.int64)
+
+        return FrameData(timestamp=timestamp, index=i,
+                         image_left=imL, image_right=imR,
+                         seg_left=seg_l, seg_right=seg_r,
+                         humans_left=humans_l, humans_right=humans_r,
+                         track_ids=tids)
+
+    def sequence(self, n_frames: int, dt: float = 0.1, **kw):
+        """Yield (FrameData, Rwc, twc) over a default trajectory."""
+        Rwc, twc = self.trajectory(n_frames, dt)
+        for i in range(n_frames):
+            yield self.frame(i, Rwc[i], twc[i], i * dt, **kw), Rwc[i], twc[i]

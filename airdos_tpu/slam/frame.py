@@ -1,0 +1,241 @@
+"""Per-frame measurement construction.
+
+Rebuild of the reference's Frame (src/Frame.cc): one jit-compiled device
+program produces, from the raw stereo pair (+ masks), all padded measurement
+arrays — ORB features both views, stereo matches (u_right/depth), and the
+dense disparity map used for human association.  The host-side Frame object
+wraps the results with numpy views plus map bookkeeping (per-feature map
+point ids, pose).
+
+Human-pose stereo association/triangulation follows
+Frame::MatchingHumanPoses (src/Frame.cc:212-247) and
+Frame::ComputeHumanPoseTriangulation (src/Frame.cc:313-416).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from airdos_tpu.config import SlamConfig
+from airdos_tpu.features.orb import OrbExtractor
+from airdos_tpu.geometry.camera import StereoCamera
+from airdos_tpu.matching.stereo import stereo_match, stack_pyramid
+from airdos_tpu.ops.disparity import disparity_bm
+from airdos_tpu.ops.pyramid import build_pyramid, level_shapes
+from airdos_tpu.slam.map import MAIN_SKELETON, N_JOINTS
+
+MAX_HUMAN_DEPTH = 20.0      # reference rejects joint depth > 20 m
+HUMAN_MATCH_TH = 30.0       # max mean torso distance for L/R association
+
+
+@dataclasses.dataclass
+class HumanObservation:
+    """One associated stereo human (reference: human_pose struct)."""
+    track_id: int
+    kp_left: np.ndarray      # [18, 2]
+    kp_right: np.ndarray     # [18, 2]
+    conf_left: np.ndarray    # [18]
+    conf_right: np.ndarray   # [18]
+    depth: np.ndarray        # [18]
+    bad: np.ndarray          # [18] bool
+
+
+class FrontEnd:
+    """Owns the jitted frame-build program (one compile per image geometry)."""
+
+    def __init__(self, config: SlamConfig):
+        self.config = config
+        cam = config.camera
+        self.camera = StereoCamera.from_config(cam)
+        orb = config.orb
+        self.extractor = OrbExtractor(orb.n_features, orb.scale_factor,
+                                      orb.n_levels, orb.ini_th_fast, orb.min_th_fast)
+        self._widths = None
+        self._build = jax.jit(self._build_impl, static_argnames=("with_disparity",))
+
+    def _build_impl(self, imL, imR, maskL, maskR, with_disparity: bool):
+        cfg = self.config
+        orb = cfg.orb
+        h, w = imL.shape
+        pyrL = build_pyramid(imL, maskL, orb.n_levels, orb.scale_factor)
+        pyrR = build_pyramid(imR, maskR, orb.n_levels, orb.scale_factor)
+        fL = self.extractor._extract_from_pyramid(pyrL)
+        fR = self.extractor._extract_from_pyramid(pyrR)
+        widths = jnp.asarray([s[1] for s in level_shapes(h, w, orb.n_levels,
+                                                         orb.scale_factor)], jnp.int32)
+        scales = jnp.asarray(self.extractor.scales, jnp.float32)
+        sm = stereo_match(fL.xy, fL.octave, fL.desc32, fL.valid,
+                          fR.xy, fR.octave, fR.desc32, fR.valid,
+                          stack_pyramid(pyrL.images), stack_pyramid(pyrR.images),
+                          widths, scales,
+                          jnp.float32(cfg.camera.bf),
+                          jnp.float32(cfg.camera.baseline))
+        disp = disparity_bm(imL, imR) if with_disparity else jnp.zeros((1, 1))
+        return fL, fR, sm, disp
+
+    def build_frame(self, data, index: int = None) -> "Frame":
+        """data: io.datasets.FrameData."""
+        cfg = self.config
+        imL = jnp.asarray(data.image_left, jnp.float32)
+        imR = jnp.asarray(data.image_right, jnp.float32)
+        use_mask = cfg.system.is_mask and data.seg_left is not None
+        if use_mask:
+            # seg nonzero = dynamic -> usable mask is (seg == 0)
+            maskL = jnp.asarray(data.seg_left == 0, jnp.float32)
+            maskR = jnp.asarray(data.seg_right == 0, jnp.float32)
+        else:
+            maskL = jnp.ones_like(imL)
+            maskR = jnp.ones_like(imR)
+        want_disp = bool(cfg.human.ok and data.humans_left is not None
+                         and len(data.humans_left) > 0)
+        fL, fR, sm, disp = self._build(imL, imR, maskL, maskR,
+                                       with_disparity=want_disp)
+        frame = Frame(self, data, fL, fR, sm,
+                      np.asarray(disp) if want_disp else None)
+        return frame
+
+
+class Frame:
+    """Host-side frame: numpy measurement views + map bookkeeping."""
+
+    def __init__(self, frontend: FrontEnd, data, fL, fR, sm,
+                 disparity: Optional[np.ndarray]):
+        self.frontend = frontend
+        self.config = frontend.config
+        self.camera = frontend.camera
+        self.index = data.index
+        self.timestamp = data.timestamp
+
+        # device copies kept for matching kernels
+        self.dev = dict(xy=fL.xy, octave=fL.octave, angle=fL.angle,
+                        desc32=fL.desc32, valid=fL.valid,
+                        u_right=sm.u_right, depth=sm.depth)
+        self.xy = np.asarray(fL.xy)
+        self.response = np.asarray(fL.response)
+        self.angle = np.asarray(fL.angle)
+        self.octave = np.asarray(fL.octave)
+        self.desc32 = np.asarray(fL.desc32)
+        self.valid = np.asarray(fL.valid)
+        self.u_right = np.asarray(sm.u_right)
+        self.depth = np.asarray(sm.depth)
+        cam = frontend.camera
+        if frontend.config.camera.has_distortion:
+            self.xy_un = np.asarray(cam.undistort_points(fL.xy))
+        else:
+            self.xy_un = self.xy
+        self.n_slots = self.xy.shape[0]
+        self.mp_idx = np.full(self.n_slots, -1, np.int64)
+        self.outlier = np.zeros(self.n_slots, bool)
+
+        # pose Tcw
+        self.Rcw = np.eye(3, dtype=np.float32)
+        self.tcw = np.zeros(3, np.float32)
+        self.ref_kf_id: Optional[int] = None
+
+        # humans
+        self.humans: list[HumanObservation] = []
+        if disparity is not None and data.humans_left is not None:
+            self._associate_humans(data, disparity)
+
+    # ------------------------------------------------------------- pose
+    def set_pose(self, Rcw, tcw):
+        self.Rcw = np.asarray(Rcw, np.float32)
+        self.tcw = np.asarray(tcw, np.float32)
+
+    @property
+    def Rwc(self):
+        return self.Rcw.T
+
+    @property
+    def Ow(self):
+        return -self.Rcw.T @ self.tcw
+
+    # ------------------------------------------------------------ humans
+    def _associate_humans(self, data, disp_map: np.ndarray):
+        """Greedy left->right association via disparity-compensated torso
+        distance, then per-joint triangulation (reference semantics)."""
+        cfg = self.config
+        cam = self.camera
+        bf = float(cfg.camera.bf)
+        reject_th = cfg.human.reject_th
+        h, w = data.image_left.shape[:2]
+        left, right = data.humans_left, data.humans_right
+        tids = data.track_ids
+        n = min(len(left), len(right)) if len(right) else 0
+        for li in range(min(len(left), n)):
+            tid = int(tids[li]) if tids is not None and li < len(tids) else -1
+            if tids is not None and li < len(tids) and tid < 0:
+                continue  # untrackable pose
+            L = left[li]
+            best_rid, best_dist = -1, 50.0
+            for ri in range(len(right)):
+                dsum, cnt = 0.0, 0
+                for j in MAIN_SKELETON:
+                    sl, sr = L[j, 2], right[ri][j, 2]
+                    ul, vl = L[j, 0], L[j, 1]
+                    if sl < reject_th and sr < reject_th:
+                        continue
+                    if not (0 <= ul < w and 0 <= vl < h):
+                        continue
+                    d = disp_map[int(vl), int(ul)]
+                    d = max(d, 0.0)
+                    dx = ul - d - right[ri][j, 0]
+                    dy = vl - right[ri][j, 1]
+                    dsum += np.hypot(dx, dy)
+                    cnt += 1
+                if cnt == 0:
+                    continue
+                dsum /= cnt
+                if dsum < best_dist:
+                    best_dist, best_rid = dsum, ri
+            if best_rid < 0 or best_dist >= HUMAN_MATCH_TH:
+                continue
+            R = right[best_rid]
+            depth = np.zeros(N_JOINTS, np.float32)
+            bad = np.zeros(N_JOINTS, bool)
+            for j in range(N_JOINTS):
+                b = L[j, 2] < reject_th and R[j, 2] < reject_th
+                disp = L[j, 0] - R[j, 0]
+                if disp <= 0:
+                    disp = 0.01
+                    b = True
+                z = bf / disp
+                if z > MAX_HUMAN_DEPTH:
+                    b = True
+                depth[j] = z
+                bad[j] = b
+            self.humans.append(HumanObservation(
+                track_id=tid,
+                kp_left=L[:, :2].astype(np.float32),
+                kp_right=np.stack([R[:, 0], L[:, 1]], axis=1).astype(np.float32),
+                conf_left=L[:, 2].astype(np.float32),
+                conf_right=R[:, 2].astype(np.float32),
+                depth=depth, bad=bad))
+
+    def unproject_human(self, obs: HumanObservation) -> np.ndarray:
+        """Joint world positions [18, 3] from left pixels + depth."""
+        cam = self.config.camera
+        x = (obs.kp_left[:, 0] - cam.cx) * obs.depth / cam.fx
+        y = (obs.kp_left[:, 1] - cam.cy) * obs.depth / cam.fy
+        xc = np.stack([x, y, obs.depth], axis=1)
+        return (self.Rwc @ xc.T).T + self.Ow[None, :]
+
+    def unproject_feature(self, i: int) -> np.ndarray:
+        cam = self.config.camera
+        z = self.depth[i]
+        x = (self.xy_un[i, 0] - cam.cx) * z / cam.fx
+        y = (self.xy_un[i, 1] - cam.cy) * z / cam.fy
+        xc = np.array([x, y, z], np.float32)
+        return self.Rwc @ xc + self.Ow
+
+    def unproject_features(self, ids: np.ndarray) -> np.ndarray:
+        cam = self.config.camera
+        z = self.depth[ids]
+        x = (self.xy_un[ids, 0] - cam.cx) * z / cam.fx
+        y = (self.xy_un[ids, 1] - cam.cy) * z / cam.fy
+        xc = np.stack([x, y, z], axis=1).astype(np.float32)
+        return (self.Rwc @ xc.T).T + self.Ow[None, :]

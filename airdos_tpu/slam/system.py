@@ -1,0 +1,171 @@
+"""System facade — the public API (reference: src/System.cc, System.h:75-149).
+
+Usage mirrors the reference:
+
+    cfg = SlamConfig.from_yaml("tartanair.yaml")
+    slam = System(cfg)
+    for data in sequence:                 # io.datasets.FrameData
+        slam.track_stereo_human(data)     # or track_stereo(...)
+    slam.before_end("map_dump_dir")       # optional SaveMap metadata dump
+    slam.shutdown()
+    slam.save_trajectory_tum("traj.txt")
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from airdos_tpu.config import SlamConfig
+from airdos_tpu.io.datasets import FrameData
+from airdos_tpu.io.tum import write_trajectory_kitti, write_trajectory_tum
+from airdos_tpu.slam.frame import FrontEnd
+from airdos_tpu.slam.local_mapping import LocalMapper
+from airdos_tpu.slam.map import SlamMap
+from airdos_tpu.slam.tracking import Tracking, TrackState
+
+
+class System:
+    def __init__(self, config: SlamConfig, use_viewer: bool = False):
+        self.config = config
+        self.map = SlamMap()
+        self.frontend = FrontEnd(config)
+        self.local_mapper = LocalMapper(config, self.map)
+        self.tracking = Tracking(config, self.frontend, self.map,
+                                 self.local_mapper)
+        self.human_ba = None          # wired in once the solver stack exists
+        self.static_ba = None
+        self._frame_count = 0
+        self._last_human_ba_frame = 0
+        self.track_times: List[float] = []
+        self.viewer = None
+        if use_viewer:
+            from airdos_tpu.viz.viewer import Viewer
+            self.viewer = Viewer(self.map, self.tracking)
+
+    # ----------------------------------------------------------------- api
+    def track_stereo(self, data: FrameData):
+        """TrackStereo — static-only stereo tracking."""
+        return self._track(data)
+
+    def track_stereo_human(self, data: FrameData):
+        """TrackStereoHuman — stereo + dynamic-human pipeline."""
+        return self._track(data)
+
+    def _track(self, data: FrameData):
+        t0 = time.perf_counter()
+        frame = self.tracking.track(data)
+        prev_kf = self.map.kfs.get(self.tracking.last_kf_id)
+
+        if (self.tracking.state == TrackState.OK and prev_kf is not None
+                and prev_kf.frame_id == frame.index):
+            # a KF was just created: run the inline local-mapping steps
+            lm = self.local_mapper
+            lm.cull_map_points(prev_kf.id)
+            lm.create_new_points(prev_kf)
+            lm.fuse_neighbors(prev_kf)
+            if self.static_ba is not None and self.map.n_keyframes() > 2 \
+                    and self.config.optimizer.is_static_only:
+                self.static_ba(prev_kf)
+            lm.cull_keyframes(prev_kf)
+
+        # human-trajectory local BA every max_frames frames (OffLineTrack,
+        # Tracking.cc:705-717)
+        if (self.human_ba is not None and self.config.human.ok
+                and not self.config.optimizer.is_static_only
+                and self.tracking.state == TrackState.OK
+                and self._frame_count - self._last_human_ba_frame >=
+                self.tracking.max_frames
+                and self.map.long_trajectories()):
+            self.human_ba(self.map, self.tracking.last_kf_id)
+            self._last_human_ba_frame = self._frame_count
+
+        self._frame_count += 1
+        self.track_times.append(time.perf_counter() - t0)
+        if self.viewer is not None:
+            self.viewer.update(frame)
+        return frame
+
+    # ------------------------------------------------------------- export
+    def save_trajectory_tum(self, path: str):
+        ts, Rwc, twc = self.tracking.trajectory_tum()
+        write_trajectory_tum(path, ts, Rwc, twc)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        kfs = sorted((kf for kf in self.map.kfs.values() if not kf.bad),
+                     key=lambda k: k.id)
+        ts = [kf.timestamp for kf in kfs]
+        Rwc = np.asarray([kf.Rwc for kf in kfs])
+        twc = np.asarray([kf.Ow for kf in kfs])
+        write_trajectory_tum(path, ts, Rwc, twc)
+
+    def save_trajectory_kitti(self, path: str):
+        ts, Rwc, twc = self.tracking.trajectory_tum()
+        write_trajectory_kitti(path, Rwc, twc)
+
+    def before_end(self, out_dir: Optional[str] = None):
+        """Tracking::SaveMap metadata dump (KF/MP/Match/HMTraj/Motion .txt,
+        reference Tracking.cc:1745-1836)."""
+        if out_dir is None:
+            return
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        pt = self.map.points
+        with open(out / "KF.txt", "w") as f:
+            for kf in sorted(self.map.kfs.values(), key=lambda k: k.id):
+                if kf.bad:
+                    continue
+                q = _rot_to_quat_wxyz(kf.Rwc)
+                ow = kf.Ow
+                f.write(f"{kf.id} {kf.timestamp:.6f} "
+                        f"{ow[0]:.7f} {ow[1]:.7f} {ow[2]:.7f} "
+                        f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}\n")
+        with open(out / "MP.txt", "w") as f:
+            for pid in pt.live_ids():
+                p = pt.pos[pid]
+                f.write(f"{pid} {p[0]:.7f} {p[1]:.7f} {p[2]:.7f}\n")
+        with open(out / "Match.txt", "w") as f:
+            for pid in pt.live_ids():
+                for kf_id, fid in pt.obs[pid].items():
+                    kf = self.map.kfs.get(kf_id)
+                    if kf is None or kf.bad:
+                        continue
+                    u, v = kf.xy_un[fid]
+                    ur = kf.u_right[fid]
+                    isig = 1.0 / (self.frontend.extractor.sigma2[kf.octave[fid]])
+                    f.write(f"{pid} {kf_id} {u:.3f} {v:.3f} {ur:.3f} {isig:.5f}\n")
+        with open(out / "HMTraj.txt", "w") as f:
+            for tid, traj in sorted(self.map.trajectories.items()):
+                for i, hp in enumerate(traj.poses):
+                    for j in range(hp.joints_w.shape[0]):
+                        p = hp.joints_w[j]
+                        f.write(f"{tid} {i} {j} {hp.timestamp:.6f} "
+                                f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                                f"{int(hp.bad[j])} {int(hp.lost[j])} "
+                                f"{int(hp.optimized[j])}\n")
+        with open(out / "Motion.txt", "w") as f:
+            for tid, traj in sorted(self.map.trajectories.items()):
+                R, t = traj.motion_R, traj.motion_t
+                row = " ".join(f"{v:.7f}" for v in
+                               np.hstack([R, t[:, None]]).reshape(-1))
+                f.write(f"{tid} {row}\n")
+
+    def shutdown(self):
+        if self.viewer is not None:
+            self.viewer.close()
+
+    # ------------------------------------------------------------- stats
+    def timing_report(self):
+        tt = sorted(self.track_times)
+        n = len(tt)
+        if n == 0:
+            return {"median_s": 0.0, "mean_s": 0.0}
+        return {"median_s": tt[n // 2], "mean_s": sum(tt) / n}
+
+
+def _rot_to_quat_wxyz(R: np.ndarray) -> np.ndarray:
+    from scipy.spatial.transform import Rotation as _R
+    q = _R.from_matrix(R).as_quat()  # x, y, z, w
+    return np.array([q[3], q[0], q[1], q[2]])

@@ -1,0 +1,620 @@
+"""Tracking: the per-frame state machine.
+
+Rebuild of the reference's Tracking (src/Tracking.cc) in its offline
+(paper) configuration: init -> (motion-model | reference-KF) tracking ->
+track-local-map -> keyframe decision -> map-point creation -> human-pose
+grabbing, with the local-mapping steps run synchronously per frame
+(Tracking::OffLineTrack, src/Tracking.cc:544-743).
+
+Host Python owns the state machine and integer bookkeeping; every dense
+step (projection matching, pose LM) is a jit-compiled device kernel with
+static padded shapes.
+"""
+from __future__ import annotations
+
+import enum
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from airdos_tpu.config import SlamConfig
+from airdos_tpu.matching.projection import match_last_frame, match_local_points
+from airdos_tpu.slam.frame import Frame, FrontEnd
+from airdos_tpu.slam.map import HumanPose, KeyFrame, SlamMap
+from airdos_tpu.solvers.pose_opt import pose_optimize
+
+
+class TrackState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+class FrameRecord:
+    """Per-frame trajectory bookkeeping (reference: mlRelativeFramePoses)."""
+    __slots__ = ("Tcr_R", "Tcr_t", "ref_kf_id", "timestamp", "lost")
+
+    def __init__(self, Tcr_R, Tcr_t, ref_kf_id, timestamp, lost):
+        self.Tcr_R = Tcr_R
+        self.Tcr_t = Tcr_t
+        self.ref_kf_id = ref_kf_id
+        self.timestamp = timestamp
+        self.lost = lost
+
+
+class Tracking:
+    def __init__(self, config: SlamConfig, frontend: FrontEnd, slam_map: SlamMap,
+                 local_mapper=None):
+        self.config = config
+        self.frontend = frontend
+        self.map = slam_map
+        self.local_mapper = local_mapper
+        self.state = TrackState.NO_IMAGES_YET
+
+        cam = config.camera
+        self.fx, self.fy = cam.fx, cam.fy
+        self.cx, self.cy = cam.cx, cam.cy
+        self.bf = cam.bf
+        self.baseline = cam.baseline
+        self.width, self.height = cam.width, cam.height
+        self.th_depth = config.th_depth_m
+        self.min_frames = 0
+        self.max_frames = max(1, int(round(cam.fps)))
+
+        orb = config.orb
+        self.scale_factors = np.asarray(
+            [orb.scale_factor ** l for l in range(orb.n_levels)], np.float32)
+        self.inv_sigma2 = (1.0 / (self.scale_factors ** 2)).astype(np.float32)
+        self.log_scale = float(np.log(orb.scale_factor))
+        self.n_levels = orb.n_levels
+
+        self.last_frame: Optional[Frame] = None
+        self.current: Optional[Frame] = None
+        self.velocity: Optional[tuple] = None       # (R, t) of Tcl (cur<-last)
+        self.last_kf_id = -1
+        self.last_reloc_frame = -1e9
+        self.records: List[FrameRecord] = []
+        self.n_inliers = 0
+        # temp VO points attached to the last frame: feat_idx -> world pos
+        self._vo_points: Dict[int, np.ndarray] = {}
+
+        self._jit_match_last = jax.jit(match_last_frame)
+        self._jit_match_local = jax.jit(match_local_points)
+        self._jit_pose_opt = jax.jit(pose_optimize)
+
+        self.max_local_points = config.device.max_local_points
+
+    # ================================================================ api
+    def track(self, data) -> Frame:
+        """Process one stereo frame (GrabImageStereo[Human] + OffLineTrack)."""
+        frame = self.frontend.build_frame(data)
+        self.current = frame
+
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            self.state = TrackState.NOT_INITIALIZED
+            self._stereo_initialization(frame)
+        else:
+            ok = False
+            if self.state == TrackState.OK:
+                if self.velocity is not None:
+                    ok = self._track_with_motion_model(frame)
+                if not ok:
+                    ok = self._track_reference_keyframe(frame)
+            else:
+                ok = self._relocalization(frame)
+
+            if ok:
+                ok = self._track_local_map(frame)
+
+            if ok:
+                self.state = TrackState.OK
+                self._update_velocity(frame)
+                self._clean_vo_matches(frame)
+                if self._need_new_keyframe(frame):
+                    self._create_new_keyframe(frame)
+                elif self.config.human.ok and frame.humans:
+                    self._grab_human_poses(frame, kf=None)
+                # mark outliers as free slots (reference: Track() end)
+                frame.mp_idx[frame.outlier] = -1
+            else:
+                self.state = TrackState.LOST
+                if self.map.n_keyframes() <= 5:
+                    # lost right after init -> reset (reference Tracking.cc:508)
+                    self._reset()
+
+        self._record_frame(frame)
+        self.last_frame = frame
+        return frame
+
+    # ======================================================== init / reset
+    def _stereo_initialization(self, frame: Frame):
+        n_valid = int(frame.valid.sum())
+        if n_valid < 500:
+            return
+        frame.set_pose(np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+        kf = KeyFrame(self.map.next_kf_id, frame)
+        self.map.next_kf_id += 1
+        self.map.add_keyframe(kf)
+
+        good = np.nonzero((frame.depth > 0) & frame.valid)[0]
+        if len(good) < 50:
+            self.map.kfs.pop(kf.id)
+            return
+        pos = frame.unproject_features(good)
+        pids = self.map.create_points(kf, good, pos)
+        frame.mp_idx[good] = pids
+        frame.ref_kf_id = kf.id
+        self.last_kf_id = kf.id
+        if self.local_mapper is not None:
+            self.local_mapper.recent_points.extend(pids.tolist())
+        if self.config.human.ok and frame.humans:
+            self._grab_human_poses(frame, kf=kf)
+        self.state = TrackState.OK
+
+    def _reset(self):
+        self.map.__init__()
+        self.state = TrackState.NOT_INITIALIZED
+        self.velocity = None
+        self.last_kf_id = -1
+        self._vo_points = {}
+        self.records = []
+        if self.local_mapper is not None:
+            self.local_mapper.recent_points = []
+
+    # ==================================================== frame-to-frame
+    def _gather_last_frame_points(self, frame_last: Frame):
+        """Arrays over last-frame feature slots: world pos + validity, using
+        live map points (current optimized positions) and temp VO points."""
+        n = frame_last.n_slots
+        xw = np.zeros((n, 3), np.float32)
+        valid = np.zeros(n, bool)
+        pt = self.map.points
+        has_mp = frame_last.mp_idx >= 0
+        ids = np.nonzero(has_mp)[0]
+        if len(ids):
+            pids = frame_last.mp_idx[ids]
+            live = ~pt.bad[pids]
+            xw[ids[live]] = pt.pos[pids[live]]
+            valid[ids[live]] = True
+        for fid, pos in self._vo_points.items():
+            if not valid[fid]:
+                xw[fid] = pos
+                valid[fid] = True
+        return xw, valid
+
+    def _update_last_frame_vo_points(self):
+        """Create temporary close-depth points for the last frame (reference
+        Tracking::UpdateLastFrame 'visual odometry' points)."""
+        self._vo_points = {}
+        lf = self.last_frame
+        if lf is None or lf.ref_kf_id is None:
+            return
+        depths = lf.depth
+        cand = np.nonzero((depths > 0) & lf.valid & (lf.mp_idx < 0))[0]
+        if len(cand) == 0:
+            return
+        order = cand[np.argsort(depths[cand])]
+        n_close = 0
+        for fid in order:
+            if depths[fid] > self.th_depth and n_close >= 100:
+                break
+            self._vo_points[int(fid)] = lf.unproject_feature(int(fid))
+            n_close += 1
+
+    def _track_with_motion_model(self, frame: Frame) -> bool:
+        self._update_last_frame_vo_points()
+        lf = self.last_frame
+        Rv, tv = self.velocity
+        Rp = Rv @ lf.Rcw
+        tp = Rv @ lf.tcw + tv
+        frame.set_pose(Rp, tp)
+
+        xw, valid_p = self._gather_last_frame_points(lf)
+        if valid_p.sum() < 10:
+            return False
+
+        # forward/backward along optical axis (reference: tlc.z > b)
+        t_lc = lf.Rcw @ (frame.Ow - lf.Ow)
+        forward = bool(t_lc[2] > self.baseline)
+        backward = bool(-t_lc[2] > self.baseline)
+
+        n, assoc = self._match_last(frame, lf, xw, valid_p, th=7.0,
+                                    forward=forward, backward=backward)
+        if n < 20:
+            n, assoc = self._match_last(frame, lf, xw, valid_p, th=14.0,
+                                        forward=forward, backward=backward)
+        if n < 20:
+            return False
+
+        # write associations then pose-optimize
+        self._apply_assoc(frame, lf, assoc)
+        n_map = self._pose_optimize_frame(frame)
+        return n_map >= 10
+
+    def _match_last(self, frame, lf, xw, valid_p, th, forward, backward):
+        pt = self.map.points
+        desc_p = np.zeros((lf.n_slots, 8), np.uint32)
+        has_mp = lf.mp_idx >= 0
+        mp_rows = np.nonzero(has_mp & valid_p)[0]
+        desc_p[mp_rows] = pt.desc32[lf.mp_idx[mp_rows]]
+        vo_rows = [i for i in self._vo_points if not has_mp[i]]
+        if vo_rows:
+            desc_p[vo_rows] = lf.desc32[vo_rows]
+
+        taken = jnp.asarray(frame.mp_idx >= 0)
+        m = self._jit_match_last(
+            jnp.asarray(xw), jnp.asarray(desc_p), jnp.asarray(lf.octave),
+            jnp.asarray(lf.angle), jnp.asarray(valid_p),
+            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
+            frame.dev["xy"], frame.dev["u_right"], frame.dev["octave"],
+            frame.dev["angle"], frame.dev["desc32"], frame.dev["valid"], taken,
+            self.fx, self.fy, self.cx, self.cy, self.bf,
+            self.width, self.height,
+            jnp.asarray(self.scale_factors), th,
+            forward, backward)
+        return int(m.n_matches), np.asarray(m.point_of_feat)
+
+    def _apply_assoc(self, frame: Frame, lf: Frame, point_of_feat: np.ndarray):
+        """point_of_feat[feat] = last-frame slot index (or -1)."""
+        feat_ids = np.nonzero(point_of_feat >= 0)[0]
+        for fid in feat_ids:
+            src = point_of_feat[fid]
+            pid = lf.mp_idx[src]
+            if pid >= 0 and not self.map.points.bad[pid]:
+                frame.mp_idx[fid] = pid
+            elif src in self._vo_points:
+                frame.mp_idx[fid] = -2 - src    # encode temp VO association
+
+    def _decode_vo(self, code: int) -> int:
+        return -2 - code
+
+    def _pose_optimize_frame(self, frame: Frame) -> int:
+        """Motion-only BA on every current association.  Returns the number
+        of inlier matches to real (non-VO) map points."""
+        n = frame.n_slots
+        xw = np.zeros((n, 3), np.float32)
+        valid = np.zeros(n, bool)
+        is_real = np.zeros(n, bool)
+        pt = self.map.points
+        mp_rows = np.nonzero(frame.mp_idx >= 0)[0]
+        if len(mp_rows):
+            pids = frame.mp_idx[mp_rows]
+            live = ~pt.bad[pids]
+            rows = mp_rows[live]
+            xw[rows] = pt.pos[pids[live]]
+            valid[rows] = True
+            is_real[rows] = True
+        vo_rows = np.nonzero(frame.mp_idx <= -2)[0]
+        lf = self.last_frame
+        for fid in vo_rows:
+            src = self._decode_vo(frame.mp_idx[fid])
+            if src in self._vo_points:
+                xw[fid] = self._vo_points[src]
+                valid[fid] = True
+        if valid.sum() < 6:
+            return 0
+
+        obs = np.concatenate([frame.xy_un, frame.u_right[:, None]], axis=1)
+        res = self._jit_pose_opt(
+            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
+            jnp.asarray(xw), jnp.asarray(obs.astype(np.float32)),
+            jnp.asarray(self.inv_sigma2[frame.octave]), jnp.asarray(valid),
+            self.fx, self.fy, self.cx, self.cy, self.bf)
+        frame.set_pose(np.asarray(res.R), np.asarray(res.t))
+        inlier = np.asarray(res.inlier)
+        frame.outlier = valid & ~inlier
+        # drop outlier associations immediately (motion-model semantics)
+        frame.mp_idx[frame.outlier] = -1
+        return int((inlier & is_real).sum())
+
+    # =================================================== reference-KF track
+    def _track_reference_keyframe(self, frame: Frame) -> bool:
+        """Reference uses SearchByBoW; until the BoW stack lands this uses a
+        wide projection search from the reference KF's points, which serves
+        the same role for short-baseline recovery."""
+        if frame.ref_kf_id is None:
+            frame.ref_kf_id = self.last_kf_id
+        kf = self.map.kfs.get(self.last_kf_id)
+        if kf is None:
+            return False
+        frame.set_pose(self.last_frame.Rcw, self.last_frame.tcw)
+        xw = np.zeros((kf.n_slots, 3), np.float32)
+        valid = np.zeros(kf.n_slots, bool)
+        pt = self.map.points
+        rows = np.nonzero(kf.mp_idx >= 0)[0]
+        if len(rows) == 0:
+            return False
+        pids = kf.mp_idx[rows]
+        live = ~pt.bad[pids]
+        xw[rows[live]] = pt.pos[pids[live]]
+        valid[rows[live]] = True
+
+        taken = jnp.asarray(frame.mp_idx >= 0)
+        desc_p = np.zeros((kf.n_slots, 8), np.uint32)
+        desc_p[rows[live]] = pt.desc32[pids[live]]
+        m = self._jit_match_last(
+            jnp.asarray(xw), jnp.asarray(desc_p), jnp.asarray(kf.octave),
+            jnp.asarray(kf.angle), jnp.asarray(valid),
+            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
+            frame.dev["xy"], frame.dev["u_right"], frame.dev["octave"],
+            frame.dev["angle"], frame.dev["desc32"], frame.dev["valid"], taken,
+            self.fx, self.fy, self.cx, self.cy, self.bf,
+            self.width, self.height,
+            jnp.asarray(self.scale_factors), 15.0, False, False)
+        if int(m.n_matches) < 15:
+            return False
+        pof = np.asarray(m.point_of_feat)
+        feat_ids = np.nonzero(pof >= 0)[0]
+        for fid in feat_ids:
+            pid = kf.mp_idx[pof[fid]]
+            if pid >= 0 and not pt.bad[pid]:
+                frame.mp_idx[fid] = pid
+        n_map = self._pose_optimize_frame(frame)
+        return n_map >= 10
+
+    def _relocalization(self, frame: Frame) -> bool:
+        """Projection-based recovery from the last known pose (full
+        BoW+EPnP relocalization lands with the place-recognition stack)."""
+        if self.last_frame is None:
+            return False
+        return self._track_reference_keyframe(frame)
+
+    # ======================================================= local map
+    def _local_keyframes(self, frame: Frame) -> List[int]:
+        votes: Dict[int, int] = {}
+        pt = self.map.points
+        for fid in np.nonzero(frame.mp_idx >= 0)[0]:
+            pid = frame.mp_idx[fid]
+            if pid < 0 or pt.bad[pid]:
+                continue
+            for kf_id in pt.obs[pid]:
+                votes[kf_id] = votes.get(kf_id, 0) + 1
+        if not votes:
+            return []
+        local = sorted(votes, key=lambda k: -votes[k])
+        best = local[0]
+        out = list(local[:80])
+        seen = set(out)
+        for kf_id in list(out):
+            kf = self.map.kfs.get(kf_id)
+            if kf is None:
+                continue
+            for nb in kf.best_covisible(10):
+                if nb not in seen and not self.map.kfs[nb].bad:
+                    out.append(nb)
+                    seen.add(nb)
+                    break
+            for ch in kf.children:
+                if ch not in seen:
+                    out.append(ch)
+                    seen.add(ch)
+                    break
+            if kf.parent is not None and kf.parent not in seen:
+                out.append(kf.parent)
+                seen.add(kf.parent)
+            if len(out) >= 80:
+                break
+        frame.ref_kf_id = best
+        return out[:80]
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        local_kfs = self._local_keyframes(frame)
+        if not local_kfs:
+            return False
+        pt = self.map.points
+        matched = set(int(p) for p in frame.mp_idx[frame.mp_idx >= 0])
+        cand: List[int] = []
+        seen = set()
+        for kf_id in local_kfs:
+            kf = self.map.kfs.get(kf_id)
+            if kf is None:
+                continue
+            for pid in kf.mp_idx[kf.mp_idx >= 0]:
+                p = int(pid)
+                if p in seen or p in matched or pt.bad[p]:
+                    continue
+                seen.add(p)
+                cand.append(p)
+        P = self.max_local_points
+        cand = cand[-P:] if len(cand) > P else cand
+        n_c = len(cand)
+        if n_c:
+            ids = np.asarray(cand, np.int64)
+            xw = np.zeros((P, 3), np.float32)
+            desc = np.zeros((P, 8), np.uint32)
+            normal = np.zeros((P, 3), np.float32)
+            mind = np.zeros(P, np.float32)
+            maxd = np.zeros(P, np.float32)
+            valid = np.zeros(P, bool)
+            xw[:n_c] = pt.pos[ids]
+            desc[:n_c] = pt.desc32[ids]
+            normal[:n_c] = pt.normal[ids]
+            mind[:n_c] = pt.min_dist[ids]
+            maxd[:n_c] = pt.max_dist[ids]
+            valid[:n_c] = True
+
+            taken = jnp.asarray(frame.mp_idx >= 0)
+            m = self._jit_match_local(
+                jnp.asarray(xw), jnp.asarray(desc), jnp.asarray(valid),
+                jnp.asarray(normal), jnp.asarray(maxd), jnp.asarray(mind),
+                jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
+                jnp.asarray(frame.Ow),
+                frame.dev["xy"], frame.dev["u_right"], frame.dev["octave"],
+                frame.dev["desc32"], frame.dev["valid"], taken,
+                self.fx, self.fy, self.cx, self.cy, self.bf,
+                self.width, self.height,
+                jnp.asarray(self.scale_factors), self.log_scale,
+                self.n_levels, 1.0)
+            pof = np.asarray(m.point_of_feat)
+            feat_ids = np.nonzero(pof >= 0)[0]
+            for fid in feat_ids:
+                frame.mp_idx[fid] = ids[pof[fid]]
+            pt.visible[ids] += 1
+
+        n_inliers = self._pose_optimize_frame(frame)
+        # found counters
+        inl = np.nonzero(frame.mp_idx >= 0)[0]
+        if len(inl):
+            pt.found[frame.mp_idx[inl]] += 1
+        self.n_inliers = n_inliers
+        return n_inliers >= 30 or (self.map.n_keyframes() <= 2 and n_inliers >= 15)
+
+    # ======================================================= keyframing
+    def _clean_vo_matches(self, frame: Frame):
+        frame.mp_idx[frame.mp_idx <= -2] = -1
+
+    def _tracked_close(self, frame: Frame):
+        close = (frame.depth > 0) & (frame.depth < self.th_depth) & frame.valid
+        tracked = close & (frame.mp_idx >= 0) & ~frame.outlier
+        untracked = close & (frame.mp_idx < 0)
+        return int(tracked.sum()), int(untracked.sum())
+
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        n_kfs = self.map.n_keyframes()
+        ref = self.map.kfs.get(frame.ref_kf_id if frame.ref_kf_id is not None
+                               else self.last_kf_id)
+        if ref is None:
+            return False
+        min_obs = 3 if n_kfs > 2 else 2
+        pt = self.map.points
+        rows = ref.mp_idx[ref.mp_idx >= 0]
+        ref_matches = int(((pt.n_obs[rows] >= min_obs) & ~pt.bad[rows]).sum()) \
+            if len(rows) else 0
+        n_close, n_unclose = self._tracked_close(frame)
+        need_close = (n_close < 100) and (n_unclose > 70)
+        th_ref = 0.4 if n_kfs < 2 else 0.75
+        frames_since = frame.index - self._kf_frame_index()
+        c1a = frames_since >= self.max_frames
+        c1b = frames_since >= self.min_frames
+        c1c = self.n_inliers < ref_matches * 0.25 or need_close
+        c2 = (self.n_inliers < ref_matches * th_ref or need_close) and \
+            self.n_inliers > 15
+        return (c1a or c1b or c1c) and c2
+
+    def _kf_frame_index(self) -> int:
+        kf = self.map.kfs.get(self.last_kf_id)
+        return kf.frame_id if kf is not None else -10
+
+    def _create_new_keyframe(self, frame: Frame):
+        kf = KeyFrame(self.map.next_kf_id, frame)
+        self.map.next_kf_id += 1
+        self.map.add_keyframe(kf)
+        frame.ref_kf_id = kf.id
+        self.last_kf_id = kf.id
+
+        pt = self.map.points
+        # register existing matches as observations
+        for fid in np.nonzero(frame.mp_idx >= 0)[0]:
+            pid = int(frame.mp_idx[fid])
+            if pid >= 0 and not pt.bad[pid]:
+                self.map.add_observation(pid, kf, int(fid))
+
+        # create close-depth points (sorted by depth, >=100)
+        depths = frame.depth
+        cand = np.nonzero((depths > 0) & frame.valid & (frame.mp_idx < 0))[0]
+        if len(cand):
+            order = cand[np.argsort(depths[cand])]
+            created = []
+            for fid in order:
+                if depths[fid] > self.th_depth and len(created) >= 100:
+                    break
+                created.append(int(fid))
+            if created:
+                ids = np.asarray(created)
+                pos = frame.unproject_features(ids)
+                pids = self.map.create_points(kf, ids, pos)
+                frame.mp_idx[ids] = pids
+                if self.local_mapper is not None:
+                    self.local_mapper.recent_points.extend(pids.tolist())
+
+        if self.local_mapper is not None:
+            self.local_mapper.process_new_keyframe(kf)
+        else:
+            self.map.update_connections(kf)
+
+        if self.config.human.ok and frame.humans:
+            self._grab_human_poses(frame, kf=kf)
+
+    # ========================================================== humans
+    def _grab_human_poses(self, frame: Frame, kf: Optional[KeyFrame]):
+        """GrabHumanPoseKF / GrabHumanPose (Tracking.cc:1221-1293)."""
+        vis = []
+        ref_id = kf.id if kf is not None else \
+            (frame.ref_kf_id if frame.ref_kf_id is not None else self.last_kf_id)
+        for obs in frame.humans:
+            joints_w = frame.unproject_human(obs)
+            hp = HumanPose(
+                track_id=obs.track_id, timestamp=frame.timestamp,
+                kf_id=ref_id, joints_w=joints_w.astype(np.float32),
+                bad=obs.bad.copy(), lost=np.zeros(18, bool),
+                optimized=np.zeros(18, bool),
+                obs_uvd=np.concatenate(
+                    [obs.kp_left, obs.kp_right[:, :1], obs.depth[:, None]],
+                    axis=1).astype(np.float32),
+                confidence=obs.conf_left.copy(),
+                in_keyframe=kf is not None)
+            if obs.track_id >= 0:
+                self.map.add_human_pose(hp)
+                vis.append(obs.track_id)
+        self.map.current_track_ids = vis
+
+    # ========================================================== misc
+    def _update_velocity(self, frame: Frame):
+        lf = self.last_frame
+        if lf is None:
+            self.velocity = None
+            return
+        Rlw, tlw = lf.Rwc, lf.Ow
+        # Tcl = Tcw_cur * Twc_last
+        R = frame.Rcw @ lf.Rwc
+        t = frame.Rcw @ lf.Ow + frame.tcw
+        self.velocity = (R.astype(np.float32), t.astype(np.float32))
+
+    def _record_frame(self, frame: Frame):
+        lost = self.state != TrackState.OK
+        if frame.ref_kf_id is None or frame.ref_kf_id not in self.map.kfs:
+            if self.records:
+                prev = self.records[-1]
+                self.records.append(FrameRecord(prev.Tcr_R, prev.Tcr_t,
+                                                prev.ref_kf_id, frame.timestamp,
+                                                True))
+            return
+        ref = self.map.kfs[frame.ref_kf_id]
+        # Tcr = Tcw * Twr
+        R = frame.Rcw @ ref.Rwc
+        t = frame.Rcw @ ref.Ow + frame.tcw
+        self.records.append(FrameRecord(R.copy(), t.copy(), ref.id,
+                                        frame.timestamp, lost))
+
+    # ------------------------------------------------------------ export
+    def trajectory_tum(self):
+        """Camera trajectory via relative-pose chaining over (possibly
+        re-optimized) keyframe poses (System::SaveTrajectoryTUM semantics)."""
+        ts, Rwcs, twcs = [], [], []
+        for rec in self.records:
+            kf = self.map.kfs.get(rec.ref_kf_id)
+            if kf is None:
+                continue
+            R_kf, t_kf = kf.Rcw, kf.tcw
+            # walk up the spanning tree if the KF was culled
+            Rrel = np.eye(3, dtype=np.float32)
+            trel = np.zeros(3, np.float32)
+            while kf.bad and kf.parent is not None and kf.Tcp is not None:
+                Rt, tt = kf.Tcp
+                Rrel = Rrel @ Rt if False else Rt @ Rrel
+                trel = Rt @ trel + tt
+                kf = self.map.kfs[kf.parent]
+            Rcw = rec.Tcr_R @ Rrel @ kf.Rcw if not np.allclose(Rrel, np.eye(3)) \
+                else rec.Tcr_R @ kf.Rcw
+            tcw = rec.Tcr_R @ (Rrel @ kf.tcw + trel) + rec.Tcr_t \
+                if not np.allclose(Rrel, np.eye(3)) \
+                else rec.Tcr_R @ kf.tcw + rec.Tcr_t
+            Rwc = Rcw.T
+            twc = -Rcw.T @ tcw
+            ts.append(rec.timestamp)
+            Rwcs.append(Rwc)
+            twcs.append(twc)
+        return np.asarray(ts), np.asarray(Rwcs), np.asarray(twcs)
