@@ -19,4 +19,18 @@ Public API mirrors the reference surface (src/System.h:75-149):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("AIRDOS_TPU_DISABLE_COMPILE_CACHE") != "1":
+    # persistent XLA compilation cache: first compile of each program is
+    # slow (~seconds); every later process reuses it
+    import jax as _jax
+    try:
+        _jax.config.update("jax_compilation_cache_dir",
+                           _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                           "/tmp/airdos_jax_cache"))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 from airdos_tpu.config import SlamConfig  # noqa: F401

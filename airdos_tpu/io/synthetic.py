@@ -49,8 +49,16 @@ _SKELETON_REST = np.array([
 
 
 def default_camera() -> CameraConfig:
+    """Mirrors the TartanAir-Shibuya rig (tartanair.yaml): 640x360,
+    fx 772.5, baseline 0.25 m."""
+    return CameraConfig(fx=772.5483, fy=772.5483, cx=320.0, cy=180.0,
+                        width=640, height=360, bf=193.1371, fps=10.0)
+
+
+def small_camera() -> CameraConfig:
+    """Low-res camera for cheap CPU tests."""
     return CameraConfig(fx=320.0, fy=320.0, cx=160.0, cy=120.0,
-                        width=320, height=240, bf=160.0, fps=10.0)
+                        width=320, height=240, bf=80.0, fps=10.0)
 
 
 @dataclasses.dataclass
@@ -95,6 +103,18 @@ class SyntheticStereoWorld:
         dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
         self.sat_offset = dirs * self.phys_radius[:, None] * 0.9
         self.sat_intensity = np.clip(self.intensity * self.rng.uniform(0.3, 0.6, n_points), 30, 255)
+        # fronto-parallel textured billboards at mixed depths: the main
+        # source of high-quality stereo matches (ground/wall patches shear
+        # between the stereo views; these don't)
+        self.billboards = []
+        for k in range(60):
+            z0 = self.rng.uniform(2.5, 28.0)
+            x0 = self.rng.uniform(-0.45, 0.45) * (2.0 + z0 * 0.8)
+            y0 = self.rng.uniform(-0.6, 1.0)
+            bw = self.rng.uniform(0.5, 1.6)
+            bh = self.rng.uniform(0.5, 1.6)
+            self.billboards.append((x0, y0, z0, bw, bh, 100 + k))
+        self.billboards.sort(key=lambda b: -b[2])   # far to near
         self.humans: List[SyntheticHuman] = []
         for k in range(n_humans):
             pos = np.array([self.rng.uniform(-3, 3), 0.0, self.rng.uniform(6, 14)])
@@ -166,15 +186,20 @@ class SyntheticStereoWorld:
                       (n01 * (1 - fx_) + n11 * fx_) * fz_)
         return out
 
-    def _render_view(self, Rcw, tcw):
+    def _render_view(self, Rcw, tcw, ss: int = 2):
+        """Render with ss x supersampling + box downsample (anti-aliasing:
+        aliased edges decorrelate the stereo views at sub-pixel disparities
+        and poison descriptor matching)."""
         import cv2
-        h, w = self.cam.height, self.cam.width
+        h, w = self.cam.height * ss, self.cam.width * ss
+        fx, fy = self.cam.fx * ss, self.cam.fy * ss
+        cx, cy = self.cam.cx * ss, self.cam.cy * ss
         # camera centre and rays in world frame
         Rwc = Rcw.T
         ow = -Rwc @ tcw
         vv, uu = np.mgrid[0:h, 0:w]
-        d_cam = np.stack([(uu - self.cam.cx) / self.cam.fx,
-                          (vv - self.cam.cy) / self.cam.fy,
+        d_cam = np.stack([(uu - cx) / fx,
+                          (vv - cy) / fy,
                           np.ones_like(uu, np.float64)], axis=-1)
         d_w = d_cam @ Rwc.T                                   # [h, w, 3]
 
@@ -195,14 +220,29 @@ class SyntheticStereoWorld:
         px = ow[0] + tc * d_w[..., 0]
         py = ow[1] + tc * d_w[..., 1]
         pz = ow[2] + tc * d_w[..., 2]
-        footprint = tc * np.linalg.norm(d_cam, axis=-1) / self.cam.fx
+        footprint = tc * np.linalg.norm(d_cam, axis=-1) / fx
         tex_g = self._value_noise(px, pz, seed=7, footprint=footprint)
         tex_w = self._value_noise(px, py, seed=11, footprint=footprint)
         shade = 40 + 180 * np.where(is_ground, tex_g, tex_w)
         img = np.where(valid, shade, img)
-        img = np.clip(img, 0, 255).astype(np.uint8)
+        zbuf = np.where(valid, tc * d_w[..., 2], np.inf)
+
+        # billboards (z = const planes), far to near, z-buffered
+        for (x0, y0, z0, bw, bh, seed) in self.billboards:
+            tb = np.where(np.abs(dz) > 1e-6, (z0 - ow[2]) / np.where(np.abs(dz) > 1e-6, dz, 1.0), np.inf)
+            okb = (tb > 0.05) & (tb * d_w[..., 2] < zbuf - 1e-6)
+            bx = ow[0] + tb * d_w[..., 0]
+            by = ow[1] + tb * d_w[..., 1]
+            inside = okb & (np.abs(bx - x0) <= bw / 2) & (np.abs(by - y0) <= bh / 2)
+            if not inside.any():
+                continue
+            fp = tb * np.linalg.norm(d_cam, axis=-1) / fx
+            tex = self._value_noise(bx, by, seed=seed, footprint=fp)
+            img = np.where(inside, 40 + 180 * tex, img)
+            zbuf = np.where(inside, tb * d_w[..., 2], zbuf)
+        img = np.clip(img, 0, 255)
         u, v, z = self._project(Rcw, tcw, self.points)
-        r_px = self.cam.fx * self.phys_radius / np.maximum(z, 1e-3)
+        r_px = fx * self.phys_radius / np.maximum(z, 1e-3)
         ok = (z > 0.3) & (u >= -8) & (u < w + 8) & (v >= -8) & (v < h + 8) & (r_px >= 0.8)
         us, vs, zs = self._project(Rcw, tcw, self.points + self.sat_offset)
         order = np.argsort(-z[ok])       # far first so near dots overwrite
@@ -213,7 +253,10 @@ class SyntheticStereoWorld:
                        float(self.intensity[i]), -1)
             cv2.circle(img, (int(round(us[i])), int(round(vs[i]))),
                        max(1, r // 2), float(self.sat_intensity[i]), -1)
-        return img.astype(np.float32)
+        out = img.astype(np.float32)
+        if ss > 1:
+            out = out.reshape(self.cam.height, ss, self.cam.width, ss).mean(axis=(1, 3))
+        return out
 
     def camera_pose_cw(self, Rwc, twc):
         Rcw = Rwc.T

@@ -1,0 +1,302 @@
+"""Host-side drivers: assemble device problems from the map and write back.
+
+- StaticLocalBA: LocalBundleAdjustment protocol (reference
+  Optimizer.cc:431-731) — local covisible KFs + their points + fixed
+  observers, outlier-observation erasure on write-back.
+- Triangulator: CreateNewMapPoints across the 10 best covisible neighbours
+  (LocalMapping.cc:221-466).
+- Fuser: SearchInNeighbors both directions (LocalMapping.cc:468-548).
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from airdos_tpu.config import SlamConfig
+from airdos_tpu.matching.epipolar import triangulate_pair
+from airdos_tpu.matching.fuse import fuse_candidates
+from airdos_tpu.slam.map import KeyFrame, SlamMap
+from airdos_tpu.solvers.local_ba import local_bundle_adjust
+
+
+class StaticLocalBA:
+    def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor):
+        self.config = config
+        self.map = slam_map
+        cam = config.camera
+        self.fx, self.fy, self.cx, self.cy, self.bf = \
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+        self.inv_sigma2 = (1.0 / extractor.sigma2).astype(np.float32)
+        dev = config.device
+        self.C = dev.max_local_kfs + dev.max_fixed_kfs
+        self.P = dev.max_local_points
+        self.E = dev.max_ba_edges
+        self._jit = jax.jit(local_bundle_adjust)
+
+    def __call__(self, kf: KeyFrame):
+        m = self.map
+        pt = m.points
+        local_ids = [kf.id] + [k for k in kf.ordered_covis
+                               if not m.kfs[k].bad][: self.config.device.max_local_kfs - 1]
+        local_set = set(local_ids)
+
+        point_ids: List[int] = []
+        pset = set()
+        for kid in local_ids:
+            k = m.kfs[kid]
+            for pid in k.mp_idx[k.mp_idx >= 0]:
+                p = int(pid)
+                if p not in pset and not pt.bad[p]:
+                    pset.add(p)
+                    point_ids.append(p)
+        point_ids = point_ids[: self.P]
+        pset = set(point_ids)
+
+        fixed_ids: List[int] = []
+        fset = set()
+        for p in point_ids:
+            for kid in pt.obs[p]:
+                if kid not in local_set and kid not in fset and not m.kfs[kid].bad:
+                    fset.add(kid)
+                    fixed_ids.append(kid)
+        fixed_ids = fixed_ids[: self.config.device.max_fixed_kfs]
+        fset = set(fixed_ids)
+
+        cam_ids = local_ids + fixed_ids
+        cam_index = {kid: i for i, kid in enumerate(cam_ids)}
+        n_cam = len(cam_ids)
+        if n_cam < 2 or len(point_ids) < 10:
+            return
+
+        C, P, E = self.C, self.P, self.E
+        cam_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+        cam_t = np.zeros((C, 3), np.float32)
+        cam_fixed = np.ones(C, bool)
+        for kid, i in cam_index.items():
+            k = m.kfs[kid]
+            cam_R[i] = k.Rcw
+            cam_t[i] = k.tcw
+            cam_fixed[i] = kid in fset or kid == 0   # KF0 always fixed
+        pts = np.zeros((P, 3), np.float32)
+        pvalid = np.zeros(P, bool)
+        pts[:len(point_ids)] = pt.pos[point_ids]
+        pvalid[:len(point_ids)] = True
+        p_index = {p: i for i, p in enumerate(point_ids)}
+
+        e_cam = np.zeros(E, np.int32)
+        e_pt = np.zeros(E, np.int32)
+        e_obs = np.full((E, 3), -1.0, np.float32)
+        e_info = np.ones(E, np.float32)
+        e_valid = np.zeros(E, bool)
+        e_ref = []      # (pid, kf_id, fid) for write-back
+        n_e = 0
+        for p in point_ids:
+            for kid, fid in pt.obs[p].items():
+                ci = cam_index.get(kid)
+                if ci is None:
+                    continue
+                if n_e >= E:
+                    break
+                k = m.kfs[kid]
+                e_cam[n_e] = ci
+                e_pt[n_e] = p_index[p]
+                e_obs[n_e] = [k.xy_un[fid, 0], k.xy_un[fid, 1], k.u_right[fid]]
+                e_info[n_e] = self.inv_sigma2[k.octave[fid]]
+                e_valid[n_e] = True
+                e_ref.append((p, kid, fid))
+                n_e += 1
+
+        res = self._jit(jnp.asarray(cam_R), jnp.asarray(cam_t),
+                        jnp.asarray(cam_fixed),
+                        jnp.asarray(pts), jnp.asarray(pvalid),
+                        jnp.asarray(e_cam), jnp.asarray(e_pt),
+                        jnp.asarray(e_obs), jnp.asarray(e_info),
+                        jnp.asarray(e_valid),
+                        self.fx, self.fy, self.cx, self.cy, self.bf)
+
+        R_out = np.asarray(res.R)
+        t_out = np.asarray(res.t)
+        pts_out = np.asarray(res.points)
+        inlier = np.asarray(res.edge_inlier)
+
+        for kid, i in cam_index.items():
+            if not cam_fixed[i]:
+                m.kfs[kid].set_pose(R_out[i], t_out[i])
+        pt.pos[point_ids] = pts_out[:len(point_ids)]
+        # erase outlier observations
+        for i, (p, kid, fid) in enumerate(e_ref):
+            if e_valid[i] and not inlier[i]:
+                m.erase_observation(p, kid)
+        for p in point_ids:
+            if not pt.bad[p]:
+                m.update_point_normal_depth(p)
+
+
+class Triangulator:
+    def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor,
+                 local_mapper):
+        self.config = config
+        self.map = slam_map
+        self.local_mapper = local_mapper
+        cam = config.camera
+        self.fx, self.fy, self.cx, self.cy, self.bf = \
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+        self.scale_factors = np.asarray(extractor.scales, np.float32)
+        self.sigma2 = extractor.sigma2
+        self.log_scale = float(np.log(config.orb.scale_factor))
+        self.n_levels = config.orb.n_levels
+        self._jit = jax.jit(triangulate_pair, static_argnames=("n_levels",))
+
+    def __call__(self, kf: KeyFrame, n_neighbors: int = 10):
+        m = self.map
+        neighbors = [k for k in kf.best_covisible(n_neighbors) if not m.kfs[k].bad]
+        if not neighbors:
+            return
+        created_total = 0
+        for nid in neighbors:
+            nkf = m.kfs[nid]
+            # baseline check (reference: stereo requires baseline > b/median depth... )
+            baseline = np.linalg.norm(nkf.Ow - kf.Ow)
+            if baseline < self.bf / self.fx * 0.01:
+                continue
+            free1 = (kf.mp_idx < 0) & kf.valid
+            free2 = (nkf.mp_idx < 0) & nkf.valid
+            res = self._jit(
+                jnp.asarray(kf.xy_un), jnp.asarray(kf.octave),
+                jnp.asarray(kf.u_right), jnp.asarray(kf.depth),
+                jnp.asarray(kf.desc32), jnp.asarray(free1),
+                jnp.asarray(kf.Rcw), jnp.asarray(kf.tcw),
+                jnp.asarray(nkf.xy_un), jnp.asarray(nkf.octave),
+                jnp.asarray(nkf.u_right), jnp.asarray(nkf.depth),
+                jnp.asarray(nkf.desc32), jnp.asarray(free2),
+                jnp.asarray(nkf.Rcw), jnp.asarray(nkf.tcw),
+                self.fx, self.fy, self.cx, self.cy, self.bf,
+                jnp.asarray(self.scale_factors), jnp.asarray(self.sigma2),
+                self.log_scale, self.n_levels)
+            valid = np.asarray(res.valid)
+            idx2 = np.asarray(res.idx2)
+            X = np.asarray(res.points)
+            f1 = np.nonzero(valid & (kf.mp_idx < 0))[0]
+            if len(f1) == 0:
+                continue
+            # uniqueness on the neighbor side: first come wins
+            used2 = set()
+            for fid in f1:
+                f2 = int(idx2[fid])
+                if f2 in used2 or nkf.mp_idx[f2] >= 0 or kf.mp_idx[fid] >= 0:
+                    continue
+                used2.add(f2)
+                pid = int(m.create_points(kf, np.asarray([fid]), X[fid][None])[0])
+                m.add_observation(pid, nkf, f2)
+                m.update_point_descriptor(pid)
+                m.update_point_normal_depth(pid)
+                self.local_mapper.recent_points.append(pid)
+                created_total += 1
+        return created_total
+
+
+class Fuser:
+    def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor):
+        self.config = config
+        self.map = slam_map
+        cam = config.camera
+        self.fx, self.fy, self.cx, self.cy, self.bf = \
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+        self.width, self.height = cam.width, cam.height
+        self.scale_factors = np.asarray(extractor.scales, np.float32)
+        self.sigma2 = extractor.sigma2
+        self.log_scale = float(np.log(config.orb.scale_factor))
+        self.n_levels = config.orb.n_levels
+        self.P = config.device.max_local_points
+        self._jit = jax.jit(fuse_candidates, static_argnames=("n_levels",))
+
+    def _fuse_into(self, point_ids: List[int], target: KeyFrame):
+        m = self.map
+        pt = m.points
+        point_ids = [p for p in point_ids if not pt.bad[p]
+                     and target.id not in pt.obs[p]][: self.P]
+        if not point_ids:
+            return
+        n = len(point_ids)
+        P = self.P
+        ids = np.asarray(point_ids)
+        xw = np.zeros((P, 3), np.float32)
+        desc = np.zeros((P, 8), np.uint32)
+        normal = np.zeros((P, 3), np.float32)
+        mind = np.zeros(P, np.float32)
+        maxd = np.zeros(P, np.float32)
+        valid = np.zeros(P, bool)
+        xw[:n] = pt.pos[ids]
+        desc[:n] = pt.desc32[ids]
+        normal[:n] = pt.normal[ids]
+        mind[:n] = pt.min_dist[ids]
+        maxd[:n] = pt.max_dist[ids]
+        valid[:n] = True
+        res = self._jit(jnp.asarray(xw), jnp.asarray(desc), jnp.asarray(valid),
+                        jnp.asarray(normal), jnp.asarray(maxd), jnp.asarray(mind),
+                        jnp.asarray(target.Rcw), jnp.asarray(target.tcw),
+                        jnp.asarray(target.Ow),
+                        jnp.asarray(target.xy_un), jnp.asarray(target.u_right),
+                        jnp.asarray(target.octave), jnp.asarray(target.desc32),
+                        jnp.asarray(target.valid),
+                        self.fx, self.fy, self.cx, self.cy, self.bf,
+                        self.width, self.height,
+                        jnp.asarray(self.scale_factors), jnp.asarray(self.sigma2),
+                        self.log_scale, self.n_levels)
+        feat_idx = np.asarray(res.feat_idx)
+        for i in range(n):
+            fid = int(feat_idx[i])
+            if fid < 0:
+                continue
+            pid = int(ids[i])
+            if pt.bad[pid]:
+                continue
+            existing = int(target.mp_idx[fid])
+            if existing >= 0 and not pt.bad[existing]:
+                # merge: keep the point with more observations
+                if pt.n_obs[existing] > pt.n_obs[pid]:
+                    m.replace_point(pid, existing)
+                else:
+                    m.replace_point(existing, pid)
+            else:
+                m.add_observation(pid, target, fid)
+                m.update_point_descriptor(pid)
+                m.update_point_normal_depth(pid)
+
+    def __call__(self, kf: KeyFrame, n_neighbors: int = 10):
+        m = self.map
+        targets = []
+        for nid in kf.best_covisible(n_neighbors):
+            nkf = m.kfs.get(nid)
+            if nkf is None or nkf.bad:
+                continue
+            targets.append(nkf)
+            for nid2 in nkf.best_covisible(5):
+                n2 = m.kfs.get(nid2)
+                if n2 is not None and not n2.bad and n2.id != kf.id and \
+                        n2 not in targets:
+                    targets.append(n2)
+        # direction 1: current KF's points into each neighbor
+        kf_points = [int(p) for p in kf.mp_idx[kf.mp_idx >= 0]]
+        for tkf in targets:
+            self._fuse_into(kf_points, tkf)
+        # direction 2: neighbors' points into the current KF
+        fuse_cand: List[int] = []
+        seen = set()
+        for tkf in targets:
+            for p in tkf.mp_idx[tkf.mp_idx >= 0]:
+                p = int(p)
+                if p not in seen:
+                    seen.add(p)
+                    fuse_cand.append(p)
+        self._fuse_into(fuse_cand, kf)
+        # refresh
+        for fid in np.nonzero(kf.mp_idx >= 0)[0]:
+            pid = int(kf.mp_idx[fid])
+            if not m.points.bad[pid]:
+                m.update_point_descriptor(pid)
+                m.update_point_normal_depth(pid)
+        m.update_connections(kf)

@@ -35,8 +35,13 @@ class System:
         self.local_mapper = LocalMapper(config, self.map)
         self.tracking = Tracking(config, self.frontend, self.map,
                                  self.local_mapper)
-        self.human_ba = None          # wired in once the solver stack exists
-        self.static_ba = None
+        from airdos_tpu.slam.ba_driver import Fuser, StaticLocalBA, Triangulator
+        ext = self.frontend.extractor
+        self.static_ba = StaticLocalBA(config, self.map, ext)
+        self.local_mapper.triangulator = Triangulator(config, self.map, ext,
+                                                      self.local_mapper)
+        self.local_mapper.fuser = Fuser(config, self.map, ext)
+        self.human_ba = None          # wired in once the human solver lands
         self._frame_count = 0
         self._last_human_ba_frame = 0
         self.track_times: List[float] = []
@@ -66,8 +71,13 @@ class System:
             lm.cull_map_points(prev_kf.id)
             lm.create_new_points(prev_kf)
             lm.fuse_neighbors(prev_kf)
+            # reference: static LBA when IsStaticOnly; the human BA variant
+            # (which also refines the static graph) replaces it otherwise.
+            run_static = (self.config.optimizer.is_static_only
+                          or self.human_ba is None
+                          or not self.config.human.ok)
             if self.static_ba is not None and self.map.n_keyframes() > 2 \
-                    and self.config.optimizer.is_static_only:
+                    and run_static:
                 self.static_ba(prev_kf)
             lm.cull_keyframes(prev_kf)
 

@@ -122,6 +122,7 @@ def pose_optimize(R0: jnp.ndarray, t0: jnp.ndarray,
         b = -jnp.einsum("nik,n,ni->k", J, w, e)
         rho = jnp.where(use_huber & (sqrt_chi > delta),
                         2 * delta * sqrt_chi - delta * delta, chi2)
+        rho = jnp.where(jnp.isfinite(rho), rho, 1e30)
         total = jnp.sum(rho * active.astype(dtype))
         return H, b, total
 
@@ -151,7 +152,10 @@ def pose_optimize(R0: jnp.ndarray, t0: jnp.ndarray,
     inlier = valid
     for rnd in range(N_ROUNDS):
         use_huber = jnp.asarray(rnd < 2)
-        active = inlier & valid
+        # never let behind-camera points poison the system (the reference
+        # checks isDepthPositive between rounds; we also do it up front)
+        _, depth_ok0 = chi2_of(R, t)
+        active = inlier & valid & depth_ok0
         R, t = lm_round(R, t, active, use_huber)
         chi, depth_ok = chi2_of(R, t)
         th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
