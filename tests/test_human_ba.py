@@ -1,0 +1,159 @@
+"""Human-trajectory BA: recover joints, limb lengths, and motion."""
+import numpy as np
+import jax.numpy as jnp
+
+from airdos_tpu.solvers.human_ba import human_bundle_adjust, N_PARTS, TORSO
+
+BODY1 = np.array([1, 1, 2, 3, 1, 5, 6, 2, 8, 9, 5, 11, 12, 1])
+BODY2 = np.array([0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 1])
+
+SKEL = np.array([
+    [0.00, -0.70, 0.00], [0.00, -0.50, 0.00], [-0.20, -0.50, 0.00],
+    [-0.25, -0.25, 0.00], [-0.28, 0.00, 0.00], [0.20, -0.50, 0.00],
+    [0.25, -0.25, 0.00], [0.28, 0.00, 0.00], [-0.12, 0.10, 0.00],
+    [-0.14, 0.50, 0.00], [-0.15, 0.90, 0.00], [0.12, 0.10, 0.00],
+    [0.14, 0.50, 0.00], [0.15, 0.90, 0.00],
+], np.float32)
+
+
+def build_problem(rng, C=4, P=80, T=1, L=6, joint_noise=0.05, obs_noise=0.5):
+    fx = fy = 400.0
+    cx, cy = 160.0, 120.0
+    bf = 100.0
+    dt = 0.5
+    vel = np.array([0.4, 0.0, -0.2], np.float32)   # human velocity m/s
+
+    # static cameras along x
+    cam_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    cam_t = np.stack([np.array([-0.3 * c, 0, 0], np.float32) for c in range(C)])
+    cam_fixed = np.zeros(C, bool)
+    cam_fixed[:2] = True
+
+    pts_gt = rng.uniform([-4, -3, 4], [4, 3, 20], (P, 3)).astype(np.float32)
+    es_cam, es_pt, es_obs = [], [], []
+    for c in range(C):
+        xc = pts_gt + cam_t[c]
+        z = xc[:, 2]
+        u = fx * xc[:, 0] / z + cx
+        v = fy * xc[:, 1] / z + cy
+        for p in range(P):
+            es_cam.append(c)
+            es_pt.append(p)
+            es_obs.append([u[p] + rng.normal(0, 0.3),
+                           v[p] + rng.normal(0, 0.3),
+                           u[p] - bf / z[p] + rng.normal(0, 0.3)])
+    Es = len(es_cam)
+
+    # human: neck walks at vel; joints = skeleton + base
+    joints_gt = np.zeros((T, L, N_PARTS, 3), np.float32)
+    jo_obs = np.zeros((T, L, N_PARTS, 3), np.float32)
+    jo_cam = np.zeros((T, L), np.int32)
+    base0 = np.array([0.5, 0.2, 8.0], np.float32)
+    for l in range(L):
+        base = base0 + vel * (l * dt)
+        joints_gt[0, l] = SKEL + base
+        c = l % C
+        jo_cam[0, l] = c
+        xc = joints_gt[0, l] + cam_t[c]
+        z = xc[:, 2]
+        u = fx * xc[:, 0] / z + cx
+        v = fy * xc[:, 1] / z + cy
+        jo_obs[0, l, :, 0] = u + rng.normal(0, obs_noise, N_PARTS)
+        jo_obs[0, l, :, 1] = v + rng.normal(0, obs_noise, N_PARTS)
+        jo_obs[0, l, :, 2] = u - bf / z + rng.normal(0, obs_noise, N_PARTS)
+
+    seg_gt = np.linalg.norm(SKEL[BODY1] - SKEL[BODY2], axis=1)
+
+    # noisy initialization
+    joints0 = joints_gt + rng.normal(0, joint_noise, joints_gt.shape).astype(np.float32)
+    seg0 = np.linalg.norm(joints0[0, 0, BODY1] - joints0[0, 0, BODY2], axis=1)[None].astype(np.float32)
+    pose_dt = np.full((T, L), dt, np.float32)
+    return dict(
+        fx=fx, fy=fy, cx=cx, cy=cy, bf=bf,
+        cam_R=cam_R, cam_t=cam_t, cam_fixed=cam_fixed,
+        pts_gt=pts_gt, es_cam=np.asarray(es_cam, np.int32),
+        es_pt=np.asarray(es_pt, np.int32), es_obs=np.asarray(es_obs, np.float32),
+        joints_gt=joints_gt, joints0=joints0, seg_gt=seg_gt, seg0=seg0,
+        jo_cam=jo_cam, jo_obs=jo_obs, pose_dt=pose_dt, vel=vel, T=T, L=L, P=P, Es=Es)
+
+
+def run_ba(pr, joints0, seg0, mot_t0=None, motion_valid=True, rigidity_valid=True):
+    T, L, P, Es = pr["T"], pr["L"], pr["P"], pr["Es"]
+    ones = np.ones((T, L, N_PARTS), bool)
+    res = human_bundle_adjust(
+        jnp.asarray(pr["cam_R"]), jnp.asarray(pr["cam_t"]), jnp.asarray(pr["cam_fixed"]),
+        jnp.asarray(pr["pts_gt"] + 0.05 * np.random.default_rng(1).standard_normal((P, 3)).astype(np.float32)),
+        jnp.ones(P, bool),
+        jnp.asarray(pr["es_cam"]), jnp.asarray(pr["es_pt"]), jnp.asarray(pr["es_obs"]),
+        jnp.ones(Es, jnp.float32), jnp.ones(Es, bool),
+        jnp.asarray(joints0), jnp.asarray(ones),
+        jnp.asarray(pr["jo_cam"]), jnp.asarray(pr["jo_obs"]), jnp.asarray(ones),
+        jnp.asarray(seg0), jnp.full((T, N_PARTS), rigidity_valid, bool),
+        jnp.full((T, L, N_PARTS), rigidity_valid, bool),
+        jnp.tile(jnp.eye(3, dtype=jnp.float32), (T, 1, 1)),
+        jnp.zeros((T, 3), jnp.float32) if mot_t0 is None else jnp.asarray(mot_t0),
+        jnp.ones(T, bool),
+        jnp.asarray(pr["pose_dt"]),
+        jnp.full((T, L, 5), motion_valid, bool),
+        1.0, 0.5, 20.0, 20.0,       # sigma static/human/rigidity/motion
+        1.0, 4.0, 1.0,              # thHuberMotion, thRanSacMotion, thRanSacRigidity
+        pr["fx"], pr["fy"], pr["cx"], pr["cy"], pr["bf"])
+    return res
+
+
+def test_human_ba_recovers_joints_and_segments(rng):
+    """The AirDOS claim: rigidity + constant-velocity priors reduce joint
+    error below what per-pose stereo triangulation alone achieves (depth
+    noise sigma_z = z^2 sigma_d / bf ~ 0.13 m here)."""
+    pr = build_problem(rng, obs_noise=0.2)
+    res_proj = run_ba(pr, pr["joints0"], pr["seg0"], motion_valid=False,
+                      rigidity_valid=False)
+    jerr_proj = np.linalg.norm(np.asarray(res_proj.joints) - pr["joints_gt"], axis=-1)
+    res = run_ba(pr, pr["joints0"], pr["seg0"])
+    jerr = np.linalg.norm(np.asarray(res.joints) - pr["joints_gt"], axis=-1)
+    assert np.median(jerr) < np.median(jerr_proj), (np.median(jerr), np.median(jerr_proj))
+    assert np.median(jerr) < 0.12, np.median(jerr)
+    serr = np.abs(np.asarray(res.seg_len)[0] - pr["seg_gt"])
+    assert np.median(serr) < 0.05, (np.asarray(res.seg_len)[0], pr["seg_gt"])
+    # motion velocity recovered (p2 = H p1 => t_H ~ vel)
+    vel_est = np.asarray(res.mot_t)[0]
+    assert np.linalg.norm(vel_est - pr["vel"]) < 0.12, (vel_est, pr["vel"])
+    assert np.asarray(res.key_inlier).mean() > 0.9
+    assert np.asarray(res.motion_inlier).mean() > 0.9
+
+
+def test_human_ba_flags_broken_motion(rng):
+    """A teleporting joint should be flagged as a motion outlier."""
+    pr = build_problem(rng)
+    joints0 = pr["joints0"].copy()
+    res = run_ba(pr, joints0, pr["seg0"])
+    base_inl = np.asarray(res.motion_inlier).mean()
+    # corrupt the observations of pose 3's torso joint 1 (teleport)
+    pr2 = build_problem(rng)
+    pr2["jo_obs"][0, 3, 1, :] += np.array([40.0, 25.0, 40.0])
+    res2 = run_ba(pr2, pr2["joints0"], pr2["seg0"])
+    # torso joint 1 is TORSO[0]: its motion edges into and out of pose 3
+    # must be flagged (-> bIsLost semantics, Optimizer.cc:2076-2086)
+    mi = np.asarray(res2.motion_inlier)   # [T, L-1, 5]
+    assert not mi[0, 2, 0] or not mi[0, 3, 0]
+    # rigidity of the teleported joint's segments flagged too
+    ri = np.asarray(res2.rigid_inlier)
+    assert ri.mean() > 0.5   # most segments stay fine
+
+
+def test_human_ba_rigidity_improves_bad_joint(rng):
+    """With a missing (high-noise) observation, rigidity + motion priors
+    should keep the joint near its true position."""
+    pr = build_problem(rng, obs_noise=0.3)
+    joints0 = pr["joints0"].copy()
+    # joint (pose 2, part 4 = r wrist): no reliable obs -> huge noise obs
+    pr["jo_obs"][0, 2, 4, :2] += 30.0
+    res = run_ba(pr, joints0, pr["seg0"])
+    # a single stereo observation is exactly solvable, so the corrupted
+    # joint fits it; the inconsistency surfaces as a rejected RIGIDITY edge
+    # for the elbow->wrist segment (index 3: BODY1=3, BODY2=4) at pose 2 —
+    # the reference's bIsBad marking (Optimizer.cc:2090-2105)
+    assert not np.asarray(res.rigid_inlier)[0, 2, 3]
+    # other poses' wrist segments stay consistent
+    ri = np.asarray(res.rigid_inlier)[0, :, 3]
+    assert ri.sum() >= ri.shape[0] - 2
