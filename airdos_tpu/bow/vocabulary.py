@@ -1,0 +1,249 @@
+"""Bag-of-words vocabulary: array-flattened k-ary tree.
+
+Rebuild of DBoW2's TemplatedVocabulary (reference: Thirdparty/DBoW2): a
+k-branching, L-level tree of binary ORB descriptors with TF-IDF weights and
+L1 scoring.  The reference's pointer tree + per-descriptor recursive
+descent becomes flat arrays + a batched Hamming-argmin descent over all
+descriptors at once — the transform of a whole frame is one jit program.
+
+Supports: training a vocabulary from descriptors (binary k-medoids via
+bit-majority), loading the standard DBoW2 text format (ORBvoc.txt), and
+binary .npz serialization (the to_binary.cc equivalent).
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pack_u32(desc_u8: np.ndarray) -> np.ndarray:
+    d = desc_u8.astype(np.uint32).reshape(-1, 8, 4)
+    return d[:, :, 0] | (d[:, :, 1] << 8) | (d[:, :, 2] << 16) | (d[:, :, 3] << 24)
+
+
+def _hamming_np(a_u32: np.ndarray, b_u32: np.ndarray) -> np.ndarray:
+    x = a_u32[:, None, :] ^ b_u32[None, :, :]
+    return np.unpackbits(x.view(np.uint8).reshape(x.shape[0], x.shape[1], -1),
+                         axis=-1).sum(-1)
+
+
+@dataclasses.dataclass
+class Vocabulary:
+    """Flattened tree.  Level 0 is the root (index 0)."""
+    k: int                        # branching factor
+    depth: int                    # number of levels below root
+    node_desc32: np.ndarray       # [n_nodes, 8] uint32
+    children: np.ndarray          # [n_nodes, k] int32 (-1 = none)
+    word_id: np.ndarray           # [n_nodes] int32 (-1 unless leaf)
+    weights: np.ndarray           # [n_words] float32 idf weights
+    n_words: int
+    feature_level: int = 4        # FeatureVector grouping level (DBoW2 L-4 ~ 4)
+
+    def __post_init__(self):
+        self._jit_transform = jax.jit(self._transform_device)
+
+    # -------------------------------------------------------------- device
+    def _transform_device(self, desc32: jnp.ndarray):
+        """desc32 [N, 8] uint32 -> (word ids [N], node-at-feature-level [N]).
+        Batched tree descent: at each level gather the k children
+        descriptors and take the Hamming argmin."""
+        children = jnp.asarray(self.children)
+        node_desc = jnp.asarray(self.node_desc32)
+        word_id = jnp.asarray(self.word_id)
+        N = desc32.shape[0]
+        cur = jnp.zeros((N,), jnp.int32)
+        feat_node = jnp.zeros((N,), jnp.int32)
+        for lvl in range(self.depth):
+            ch = children[cur]                          # [N, k]
+            ch_safe = jnp.maximum(ch, 0)
+            cd = node_desc[ch_safe]                     # [N, k, 8]
+            x = jnp.bitwise_xor(cd, desc32[:, None, :])
+            dist = jnp.sum(jax.lax.population_count(x), axis=-1)
+            dist = jnp.where(ch >= 0, dist, 1 << 20)
+            best = jnp.argmin(dist, axis=-1)
+            nxt = jnp.take_along_axis(ch, best[:, None], axis=1)[:, 0]
+            # stop at leaves (stay put when no children)
+            has_child = (ch >= 0).any(axis=-1)
+            cur = jnp.where(has_child, nxt, cur)
+            if lvl + 1 == self.feature_level:
+                feat_node = cur
+        return word_id[cur], feat_node
+
+    # ---------------------------------------------------------------- api
+    def transform(self, desc32: np.ndarray, valid: Optional[np.ndarray] = None
+                  ) -> Tuple[Dict[int, float], np.ndarray, np.ndarray]:
+        """Returns (bow_vector word->weight L1-normalized, word ids [N],
+        feature-level node ids [N]); invalid slots get word -1."""
+        wids, fnodes = self._jit_transform(jnp.asarray(desc32))
+        wids = np.asarray(wids)
+        fnodes = np.asarray(fnodes)
+        if valid is not None:
+            wids = np.where(valid, wids, -1)
+            fnodes = np.where(valid, fnodes, -1)
+        bow: Dict[int, float] = {}
+        for w in wids:
+            if w >= 0 and self.weights[w] > 0:
+                bow[int(w)] = bow.get(int(w), 0.0) + float(self.weights[w])
+        total = sum(bow.values())
+        if total > 0:
+            bow = {w: v / total for w, v in bow.items()}
+        return bow, wids, fnodes
+
+    @staticmethod
+    def score(bow1: Dict[int, float], bow2: Dict[int, float]) -> float:
+        """DBoW2 L1 score in [0, 1] (ScoringObject.cc L1Scoring)."""
+        s = 0.0
+        for w, v1 in bow1.items():
+            v2 = bow2.get(w)
+            if v2 is not None:
+                s += abs(v1) + abs(v2) - abs(v1 - v2)
+        return 0.5 * s
+
+    # ------------------------------------------------------------ save/load
+    def save_npz(self, path: str | Path):
+        np.savez_compressed(path, k=self.k, depth=self.depth,
+                            node_desc32=self.node_desc32, children=self.children,
+                            word_id=self.word_id, weights=self.weights,
+                            n_words=self.n_words)
+
+    @classmethod
+    def load_npz(cls, path: str | Path) -> "Vocabulary":
+        z = np.load(path)
+        return cls(k=int(z["k"]), depth=int(z["depth"]),
+                   node_desc32=z["node_desc32"], children=z["children"],
+                   word_id=z["word_id"], weights=z["weights"],
+                   n_words=int(z["n_words"]))
+
+
+def train_vocabulary(descriptors_u8: np.ndarray, k: int = 10, depth: int = 4,
+                     seed: int = 0, max_iters: int = 8) -> Vocabulary:
+    """Hierarchical binary k-means (bit-majority medoids), like DBoW2's
+    create().  descriptors_u8: [N, 32] uint8 training set."""
+    rng = np.random.default_rng(seed)
+    desc32 = _pack_u32(descriptors_u8)
+    bits = np.unpackbits(descriptors_u8, axis=1).astype(np.float32)  # [N, 256]
+
+    nodes_desc = [np.zeros(8, np.uint32)]   # root placeholder
+    children: list = [[]]
+    node_items = {0: np.arange(len(desc32))}
+    level_of = {0: 0}
+    leaves = []
+
+    frontier = [0]
+    for lvl in range(depth):
+        next_frontier = []
+        for nid in frontier:
+            items = node_items[nid]
+            if len(items) == 0:
+                continue
+            kk = min(k, len(items))
+            # init: random distinct descriptors
+            sel = rng.choice(len(items), kk, replace=False)
+            centers = bits[items[sel]].copy()
+            assign = None
+            for _ in range(max_iters):
+                d = np.abs(bits[items][:, None, :] - centers[None, :, :]).sum(-1)
+                new_assign = d.argmin(1)
+                if assign is not None and (new_assign == assign).all():
+                    break
+                assign = new_assign
+                for c in range(kk):
+                    members = items[assign == c]
+                    if len(members):
+                        centers[c] = (bits[members].mean(0) > 0.5).astype(np.float32)
+            # create child nodes with majority-bit descriptors
+            ch_ids = []
+            for c in range(kk):
+                members = items[assign == c]
+                if len(members) == 0:
+                    continue
+                cid = len(nodes_desc)
+                cd_bits = (bits[members].mean(0) > 0.5).astype(np.uint8)
+                cd_u8 = np.packbits(cd_bits)
+                nodes_desc.append(_pack_u32(cd_u8[None])[0])
+                children.append([])
+                node_items[cid] = members
+                level_of[cid] = lvl + 1
+                ch_ids.append(cid)
+                if lvl + 1 == depth:
+                    leaves.append(cid)
+                else:
+                    next_frontier.append(cid)
+            children[nid] = ch_ids
+        frontier = next_frontier
+    # any frontier nodes that never split further are leaves too
+    for nid in frontier:
+        if not children[nid]:
+            leaves.append(nid)
+
+    n_nodes = len(nodes_desc)
+    node_desc32 = np.stack(nodes_desc).astype(np.uint32)
+    ch_arr = np.full((n_nodes, k), -1, np.int32)
+    for nid, ch in enumerate(children):
+        ch_arr[nid, :len(ch)] = ch
+    word_id = np.full(n_nodes, -1, np.int32)
+    for w, nid in enumerate(sorted(set(leaves))):
+        word_id[nid] = w
+    n_words = int((word_id >= 0).sum())
+
+    # idf weights from the training set
+    counts = np.zeros(n_words, np.float64)
+    n_docs = max(1, len(desc32) // 500)    # pseudo-documents of 500 features
+    doc_ids = np.arange(len(desc32)) // 500
+    voc = Vocabulary(k=k, depth=depth, node_desc32=node_desc32,
+                     children=ch_arr, word_id=word_id,
+                     weights=np.ones(n_words, np.float32), n_words=n_words,
+                     feature_level=min(4, depth - 1) if depth > 1 else 0)
+    _, wids, _ = voc.transform(desc32)
+    seen = {}
+    for d, w in zip(doc_ids, wids):
+        if w >= 0:
+            seen.setdefault(int(w), set()).add(int(d))
+    for w, docs in seen.items():
+        counts[w] = len(docs)
+    idf = np.log(n_docs / np.maximum(counts, 1e-9)).clip(0.01, None)
+    voc.weights = idf.astype(np.float32)
+    return voc
+
+
+def load_dbow2_text(path: str | Path) -> Vocabulary:
+    """Load the DBoW2 text format (first line: k L scoring weighting; then
+    one node per line: parent_id is_leaf d0..d31 weight), as written by
+    TemplatedVocabulary::saveToTextFile — the ORBvoc.txt format."""
+    with open(path) as f:
+        header = f.readline().split()
+        k, depth = int(header[0]), int(header[1])
+        parents, descs, wts, leaf = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaf.append(int(parts[1]) != 0)
+            descs.append([int(x) for x in parts[2:34]])
+            wts.append(float(parts[34]))
+    n = len(parents) + 1   # + root
+    node_desc = np.zeros((n, 32), np.uint8)
+    node_desc[1:] = np.asarray(descs, np.uint8)
+    children = np.full((n, k), -1, np.int32)
+    child_count = np.zeros(n, np.int32)
+    for i, p in enumerate(parents):
+        nid = i + 1
+        children[p, child_count[p]] = nid
+        child_count[p] += 1
+    word_id = np.full(n, -1, np.int32)
+    weights = []
+    w = 0
+    for i, is_leaf in enumerate(leaf):
+        if is_leaf:
+            word_id[i + 1] = w
+            weights.append(wts[i])
+            w += 1
+    return Vocabulary(k=k, depth=depth, node_desc32=_pack_u32(node_desc),
+                      children=children, word_id=word_id,
+                      weights=np.asarray(weights, np.float32), n_words=w)

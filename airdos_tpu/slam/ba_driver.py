@@ -300,3 +300,243 @@ class Fuser:
                 m.update_point_descriptor(pid)
                 m.update_point_normal_depth(pid)
         m.update_connections(kf)
+
+
+class HumanLocalBA:
+    """Driver for the dynamic human-trajectory BA
+    (Optimizer::LocalBundleAdjustmentHumanTrajactory protocol): selects the
+    covisibility window + long trajectories whose poses reference local/fixed
+    KFs, runs the device solver, writes back KF poses, point positions,
+    joint positions, limb lengths, motion models, and the
+    bIsLost / bIsBad / bOptimized outlier flags."""
+
+    def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor):
+        from airdos_tpu.solvers.human_ba import human_bundle_adjust
+        self.config = config
+        self.map = slam_map
+        cam = config.camera
+        self.fx, self.fy, self.cx, self.cy, self.bf = \
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+        self.inv_sigma2 = (1.0 / extractor.sigma2).astype(np.float32)
+        dev = config.device
+        self.C = dev.max_local_kfs + dev.max_fixed_kfs
+        self.P = dev.max_local_points
+        self.E = dev.max_ba_edges
+        self.T = dev.max_trajectories
+        self.L = dev.max_trajectory_len
+        self._jit = jax.jit(human_bundle_adjust,
+                            static_argnames=("iters1", "iters2"))
+
+    def __call__(self, slam_map: SlamMap, current_kf_id: int):
+        from airdos_tpu.slam.map import BODY1, BODY2, N_PARTS, TH_LONG_TRAJECTORY
+        m = self.map
+        pt = m.points
+        kf = m.kfs.get(current_kf_id)
+        if kf is None:
+            return
+
+        opt = self.config.optimizer
+        dev = self.config.device
+        local_ids = [kf.id] + [k for k in kf.ordered_covis
+                               if not m.kfs[k].bad][: dev.max_local_kfs - 1]
+        local_set = set(local_ids)
+
+        # local points
+        point_ids, pset = [], set()
+        for kid in local_ids:
+            k = m.kfs[kid]
+            for pid in k.mp_idx[k.mp_idx >= 0]:
+                p = int(pid)
+                if p not in pset and not pt.bad[p]:
+                    pset.add(p)
+                    point_ids.append(p)
+        point_ids = point_ids[: self.P]
+
+        fixed_ids, fset = [], set()
+        for p in point_ids:
+            for kid in pt.obs[p]:
+                if kid not in local_set and kid not in fset and \
+                        kid in m.kfs and not m.kfs[kid].bad:
+                    fset.add(kid)
+                    fixed_ids.append(kid)
+        fixed_ids = fixed_ids[: dev.max_fixed_kfs]
+        fset = set(fixed_ids)
+
+        cam_ids = local_ids + fixed_ids
+        cam_index = {kid: i for i, kid in enumerate(cam_ids)}
+        window_ids = local_set | fset
+
+        # trajectories observed in the window, long enough
+        trajs = []
+        for tid, traj in m.trajectories.items():
+            if len(traj) <= TH_LONG_TRAJECTORY:
+                continue
+            if any(hp.kf_id in window_ids for hp in traj.poses):
+                trajs.append(traj)
+            if len(trajs) >= self.T:
+                break
+        if not trajs:
+            return
+
+        C, P, E, T, L = self.C, self.P, self.E, self.T, self.L
+        cam_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+        cam_t = np.zeros((C, 3), np.float32)
+        cam_fixed = np.ones(C, bool)
+        for kid, i in cam_index.items():
+            k = m.kfs[kid]
+            cam_R[i] = k.Rcw
+            cam_t[i] = k.tcw
+            cam_fixed[i] = (kid in fset) or kid == 0
+
+        pts = np.zeros((P, 3), np.float32)
+        pvalid = np.zeros(P, bool)
+        pts[:len(point_ids)] = pt.pos[point_ids]
+        pvalid[:len(point_ids)] = True
+        p_index = {p: i for i, p in enumerate(point_ids)}
+
+        es_cam = np.zeros(E, np.int32)
+        es_pt = np.zeros(E, np.int32)
+        es_obs = np.full((E, 3), -1.0, np.float32)
+        es_info = np.ones(E, np.float32)
+        es_valid = np.zeros(E, bool)
+        e_ref = []
+        n_e = 0
+        for p in point_ids:
+            for kid, fid in pt.obs[p].items():
+                ci = cam_index.get(kid)
+                if ci is None or n_e >= E:
+                    continue
+                k = m.kfs[kid]
+                es_cam[n_e] = ci
+                es_pt[n_e] = p_index[p]
+                es_obs[n_e] = [k.xy_un[fid, 0], k.xy_un[fid, 1], k.u_right[fid]]
+                es_info[n_e] = self.inv_sigma2[k.octave[fid]]
+                es_valid[n_e] = True
+                e_ref.append((p, kid, fid))
+                n_e += 1
+
+        # ---- human arrays --------------------------------------------
+        joints = np.zeros((T, L, N_PARTS, 3), np.float32)
+        joint_exists = np.zeros((T, L, N_PARTS), bool)
+        jo_cam = np.full((T, L), -1, np.int32)
+        jo_obs = np.full((T, L, N_PARTS, 3), -1.0, np.float32)
+        jo_valid = np.zeros((T, L, N_PARTS), bool)
+        seg_len = np.zeros((T, N_PARTS), np.float32)
+        seg_free = np.zeros((T, N_PARTS), bool)
+        seg_edge_valid = np.zeros((T, L, N_PARTS), bool)
+        mot_R = np.tile(np.eye(3, dtype=np.float32), (T, 1, 1))
+        mot_t = np.zeros((T, 3), np.float32)
+        traj_valid = np.zeros(T, bool)
+        pose_dt = np.full((T, L), 1.0, np.float32)
+        motion_edge_valid = np.zeros((T, L, 5), bool)
+        pose_windows = []   # per t: list of pose indices into traj.poses
+
+        for t, traj in enumerate(trajs):
+            # window: last L poses whose ref KF is in the window
+            sel = [i for i, hp in enumerate(traj.poses)
+                   if hp.kf_id in window_ids][-L:]
+            pose_windows.append(sel)
+            if len(sel) < 2:
+                continue
+            traj_valid[t] = True
+            mot_R[t] = traj.motion_R
+            mot_t[t] = traj.motion_t
+            seg_len[t] = traj.segment_len
+            # bad&unoptimized segments stay fixed (Optimizer.cc:1744-1760)
+            seg_free[t] = ~(traj.segment_bad & ~traj.segment_optimized)
+            for li, pi in enumerate(sel):
+                hp = traj.poses[pi]
+                joints[t, li] = hp.joints_w[:N_PARTS]
+                joint_exists[t, li] = True
+                ci = cam_index.get(hp.kf_id)
+                if ci is not None and hp.in_keyframe and hp.obs_uvd is not None:
+                    jo_cam[t, li] = ci
+                    jo_obs[t, li, :, 0] = hp.obs_uvd[:N_PARTS, 0]
+                    jo_obs[t, li, :, 1] = hp.obs_uvd[:N_PARTS, 1]
+                    jo_obs[t, li, :, 2] = hp.obs_uvd[:N_PARTS, 2]
+                    jo_valid[t, li] = ~hp.bad[:N_PARTS]
+                seg_edge_valid[t, li] = True
+                if li + 1 < len(sel):
+                    dt = traj.poses[sel[li + 1]].timestamp - hp.timestamp
+                    pose_dt[t, li] = max(dt, 1e-3)
+                    motion_edge_valid[t, li] = True
+
+        if not traj_valid.any():
+            return
+
+        res = self._jit(
+            jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(cam_fixed),
+            jnp.asarray(pts), jnp.asarray(pvalid),
+            jnp.asarray(es_cam), jnp.asarray(es_pt), jnp.asarray(es_obs),
+            jnp.asarray(es_info), jnp.asarray(es_valid),
+            jnp.asarray(joints), jnp.asarray(joint_exists),
+            jnp.asarray(jo_cam), jnp.asarray(jo_obs), jnp.asarray(jo_valid),
+            jnp.asarray(seg_len), jnp.asarray(seg_free),
+            jnp.asarray(seg_edge_valid),
+            jnp.asarray(mot_R), jnp.asarray(mot_t), jnp.asarray(traj_valid),
+            jnp.asarray(pose_dt), jnp.asarray(motion_edge_valid),
+            opt.sigma_static, opt.sigma_human, opt.sigma_rigidity,
+            opt.sigma_motion,
+            opt.th_huber_motion, opt.th_ransac_motion, opt.th_ransac_rigidity,
+            self.fx, self.fy, self.cx, self.cy, self.bf)
+
+        # ---- write-back ----------------------------------------------
+        camR_o = np.asarray(res.cam_R)
+        camt_o = np.asarray(res.cam_t)
+        for kid, i in cam_index.items():
+            if not cam_fixed[i]:
+                m.kfs[kid].set_pose(camR_o[i], camt_o[i])
+        pts_o = np.asarray(res.points)
+        pt.pos[point_ids] = pts_o[:len(point_ids)]
+        s_in = np.asarray(res.static_inlier)
+        for i, (p, kid, fid) in enumerate(e_ref):
+            if es_valid[i] and not s_in[i]:
+                m.erase_observation(p, kid)
+        for p in point_ids:
+            if not pt.bad[p]:
+                m.update_point_normal_depth(p)
+
+        joints_o = np.asarray(res.joints)
+        seg_o = np.asarray(res.seg_len)
+        motR_o = np.asarray(res.mot_R)
+        mott_o = np.asarray(res.mot_t)
+        key_in = np.asarray(res.key_inlier)
+        rig_in = np.asarray(res.rigid_inlier)
+        mot_in = np.asarray(res.motion_inlier)
+        from airdos_tpu.slam.map import MAIN_SKELETON
+        torso_list = [1, 2, 5, 11, 8]
+        for t, traj in enumerate(trajs):
+            if not traj_valid[t]:
+                continue
+            sel = pose_windows[t]
+            traj.motion_R = motR_o[t]
+            traj.motion_t = mott_o[t]
+            traj.segment_len = seg_o[t]
+            traj.optimized = True
+            self.map.optimized_track_ids.add(traj.track_id)
+            for li, pi in enumerate(sel):
+                hp = traj.poses[pi]
+                hp.joints_w[:N_PARTS] = joints_o[t, li]
+                hp.optimized[:N_PARTS] = True
+                # rigidity outliers: segment bIsBad + endpoint first/second
+                # flags; both-bad endpoints become bIsBad joints
+                first_bad = np.zeros(18, bool)
+                second_bad = np.zeros(18, bool)
+                for s in range(N_PARTS):
+                    if seg_edge_valid[t, li, s] and not rig_in[t, li, s]:
+                        traj.segment_bad[s] = True
+                        first_bad[BODY1[s]] = True
+                        second_bad[BODY2[s]] = True
+                    elif seg_edge_valid[t, li, s] and rig_in[t, li, s]:
+                        traj.segment_optimized[s] = True
+                hp.bad[:18] |= first_bad & second_bad
+                # projection outliers -> bIsBad
+                for kjoint in range(N_PARTS):
+                    if jo_valid[t, li, kjoint] and not key_in[t, li, kjoint]:
+                        hp.bad[kjoint] = True
+                # motion outliers -> bIsLost on the FIRST pose's joint
+                if li < mot_in.shape[1]:
+                    for si, kjoint in enumerate(torso_list):
+                        if motion_edge_valid[t, li, si] and not mot_in[t, li, si]:
+                            hp.lost[kjoint] = True
+                            traj.bad_count += 1

@@ -35,13 +35,15 @@ class System:
         self.local_mapper = LocalMapper(config, self.map)
         self.tracking = Tracking(config, self.frontend, self.map,
                                  self.local_mapper)
-        from airdos_tpu.slam.ba_driver import Fuser, StaticLocalBA, Triangulator
+        from airdos_tpu.slam.ba_driver import (Fuser, HumanLocalBA,
+                                               StaticLocalBA, Triangulator)
         ext = self.frontend.extractor
         self.static_ba = StaticLocalBA(config, self.map, ext)
         self.local_mapper.triangulator = Triangulator(config, self.map, ext,
                                                       self.local_mapper)
         self.local_mapper.fuser = Fuser(config, self.map, ext)
-        self.human_ba = None          # wired in once the human solver lands
+        self.human_ba = HumanLocalBA(config, self.map, ext) \
+            if config.human.ok else None
         self._frame_count = 0
         self._last_human_ba_frame = 0
         self.track_times: List[float] = []
