@@ -74,8 +74,9 @@ class FrontEnd:
                           widths, scales,
                           jnp.float32(cfg.camera.bf),
                           jnp.float32(cfg.camera.baseline))
+        xy_un = self.camera.undistort_points(fL.xy)
         disp = disparity_bm(imL, imR) if with_disparity else jnp.zeros((1, 1))
-        return fL, fR, sm, disp
+        return fL, fR, sm, xy_un, disp
 
     def build_frame(self, data, index: int = None) -> "Frame":
         """data: io.datasets.FrameData."""
@@ -92,18 +93,18 @@ class FrontEnd:
             maskR = jnp.ones_like(imR)
         want_disp = bool(cfg.human.ok and data.humans_left is not None
                          and len(data.humans_left) > 0)
-        fL, fR, sm, disp = self._build(imL, imR, maskL, maskR,
-                                       with_disparity=want_disp)
-        frame = Frame(self, data, fL, fR, sm,
-                      np.asarray(disp) if want_disp else None)
+        fL, fR, sm, xy_un, disp = self._build(imL, imR, maskL, maskR,
+                                              with_disparity=want_disp)
+        frame = Frame(self, data, fL, fR, sm, xy_un,
+                      disp if want_disp else None)
         return frame
 
 
 class Frame:
     """Host-side frame: numpy measurement views + map bookkeeping."""
 
-    def __init__(self, frontend: FrontEnd, data, fL, fR, sm,
-                 disparity: Optional[np.ndarray]):
+    def __init__(self, frontend: FrontEnd, data, fL, fR, sm, xy_un_dev,
+                 disparity_dev):
         self.frontend = frontend
         self.config = frontend.config
         self.camera = frontend.camera
@@ -111,22 +112,15 @@ class Frame:
         self.timestamp = data.timestamp
 
         # device copies kept for matching kernels
-        self.dev = dict(xy=fL.xy, octave=fL.octave, angle=fL.angle,
-                        desc32=fL.desc32, valid=fL.valid,
+        self.dev = dict(xy=fL.xy, xy_un=xy_un_dev, octave=fL.octave,
+                        angle=fL.angle, desc32=fL.desc32, valid=fL.valid,
                         u_right=sm.u_right, depth=sm.depth)
-        self.xy = np.asarray(fL.xy)
-        self.response = np.asarray(fL.response)
-        self.angle = np.asarray(fL.angle)
-        self.octave = np.asarray(fL.octave)
-        self.desc32 = np.asarray(fL.desc32)
-        self.valid = np.asarray(fL.valid)
-        self.u_right = np.asarray(sm.u_right)
-        self.depth = np.asarray(sm.depth)
-        cam = frontend.camera
-        if frontend.config.camera.has_distortion:
-            self.xy_un = np.asarray(cam.undistort_points(fL.xy))
-        else:
-            self.xy_un = self.xy
+        # ONE device->host round trip for every measurement array
+        host = jax.device_get((fL.xy, fL.response, fL.angle, fL.octave,
+                               fL.desc32, fL.valid, sm.u_right, sm.depth,
+                               xy_un_dev, disparity_dev))
+        (self.xy, self.response, self.angle, self.octave, self.desc32,
+         self.valid, self.u_right, self.depth, self.xy_un, disparity) = host
         self.n_slots = self.xy.shape[0]
         self.mp_idx = np.full(self.n_slots, -1, np.int64)
         self.outlier = np.zeros(self.n_slots, bool)

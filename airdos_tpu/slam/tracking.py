@@ -81,9 +81,13 @@ class Tracking:
         # temp VO points attached to the last frame: feat_idx -> world pos
         self._vo_points: Dict[int, np.ndarray] = {}
 
-        self._jit_match_last = jax.jit(match_last_frame)
-        self._jit_match_local = jax.jit(match_local_points)
+        from airdos_tpu.slam.fused import local_map_step, motion_model_step
+        self._jit_motion_step = jax.jit(motion_model_step,
+                                        static_argnames=())
+        self._jit_local_step = jax.jit(local_map_step,
+                                       static_argnames=("n_levels",))
         self._jit_pose_opt = jax.jit(pose_optimize)
+        self._scale_factors_dev = jnp.asarray(self.scale_factors)
 
         self.max_local_points = config.device.max_local_points
 
@@ -221,94 +225,56 @@ class Tracking:
         forward = bool(t_lc[2] > self.baseline)
         backward = bool(-t_lc[2] > self.baseline)
 
-        n, assoc = self._match_last(frame, lf, xw, valid_p, th=7.0,
-                                    forward=forward, backward=backward)
-        if n < 20:
-            n, assoc = self._match_last(frame, lf, xw, valid_p, th=14.0,
-                                        forward=forward, backward=backward)
-        if n < 20:
-            return False
-
-        # write associations then pose-optimize
-        self._apply_assoc(frame, lf, assoc)
-        n_map = self._pose_optimize_frame(frame)
-        return n_map >= 10
-
-    def _match_last(self, frame, lf, xw, valid_p, th, forward, backward):
         pt = self.map.points
         desc_p = np.zeros((lf.n_slots, 8), np.uint32)
+        real_p = np.zeros(lf.n_slots, bool)
         has_mp = lf.mp_idx >= 0
         mp_rows = np.nonzero(has_mp & valid_p)[0]
         desc_p[mp_rows] = pt.desc32[lf.mp_idx[mp_rows]]
+        real_p[mp_rows] = True
         vo_rows = [i for i in self._vo_points if not has_mp[i]]
         if vo_rows:
             desc_p[vo_rows] = lf.desc32[vo_rows]
 
-        taken = jnp.asarray(frame.mp_idx >= 0)
-        m = self._jit_match_last(
-            jnp.asarray(xw), jnp.asarray(desc_p), jnp.asarray(lf.octave),
-            jnp.asarray(lf.angle), jnp.asarray(valid_p),
-            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
-            frame.dev["xy"], frame.dev["u_right"], frame.dev["octave"],
-            frame.dev["angle"], frame.dev["desc32"], frame.dev["valid"], taken,
-            self.fx, self.fy, self.cx, self.cy, self.bf,
-            self.width, self.height,
-            jnp.asarray(self.scale_factors), th,
-            forward, backward)
-        return int(m.n_matches), np.asarray(m.point_of_feat)
-
-    def _apply_assoc(self, frame: Frame, lf: Frame, point_of_feat: np.ndarray):
-        """point_of_feat[feat] = last-frame slot index (or -1)."""
-        feat_ids = np.nonzero(point_of_feat >= 0)[0]
+        n, res = self._run_motion_step(frame, lf, xw, desc_p, real_p, valid_p,
+                                       7.0, forward, backward)
+        if n < 20:
+            n, res = self._run_motion_step(frame, lf, xw, desc_p, real_p,
+                                           valid_p, 14.0, forward, backward)
+        if n < 20:
+            return False
+        R, t, pof, n_real = res
+        frame.set_pose(R, t)
+        feat_ids = np.nonzero(pof >= 0)[0]
         for fid in feat_ids:
-            src = point_of_feat[fid]
+            src = pof[fid]
             pid = lf.mp_idx[src]
-            if pid >= 0 and not self.map.points.bad[pid]:
+            if pid >= 0 and not pt.bad[pid]:
                 frame.mp_idx[fid] = pid
             elif src in self._vo_points:
-                frame.mp_idx[fid] = -2 - src    # encode temp VO association
+                frame.mp_idx[fid] = -2 - src    # temp VO association
+        return n_real >= 10
+
+    def _run_motion_step(self, frame, src_frame, xw, desc_p, real_p, valid_p,
+                         th, forward, backward):
+        out = self._jit_motion_step(
+            jnp.asarray(xw), jnp.asarray(desc_p),
+            jnp.asarray(src_frame.octave), jnp.asarray(src_frame.angle),
+            jnp.asarray(valid_p), jnp.asarray(real_p),
+            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
+            frame.dev["xy_un"], frame.dev["u_right"], frame.dev["octave"],
+            frame.dev["angle"], frame.dev["desc32"], frame.dev["valid"],
+            jnp.asarray(self.inv_sigma2[frame.octave]),
+            self.fx, self.fy, self.cx, self.cy, self.bf,
+            self.width, self.height,
+            self._scale_factors_dev, th, forward, backward)
+        R, t, pof, n_matches, n_real = jax.device_get(
+            (out.R, out.t, out.point_of_feat, out.n_matches,
+             out.n_real_inliers))
+        return int(n_matches), (R, t, pof, int(n_real))
 
     def _decode_vo(self, code: int) -> int:
         return -2 - code
-
-    def _pose_optimize_frame(self, frame: Frame) -> int:
-        """Motion-only BA on every current association.  Returns the number
-        of inlier matches to real (non-VO) map points."""
-        n = frame.n_slots
-        xw = np.zeros((n, 3), np.float32)
-        valid = np.zeros(n, bool)
-        is_real = np.zeros(n, bool)
-        pt = self.map.points
-        mp_rows = np.nonzero(frame.mp_idx >= 0)[0]
-        if len(mp_rows):
-            pids = frame.mp_idx[mp_rows]
-            live = ~pt.bad[pids]
-            rows = mp_rows[live]
-            xw[rows] = pt.pos[pids[live]]
-            valid[rows] = True
-            is_real[rows] = True
-        vo_rows = np.nonzero(frame.mp_idx <= -2)[0]
-        lf = self.last_frame
-        for fid in vo_rows:
-            src = self._decode_vo(frame.mp_idx[fid])
-            if src in self._vo_points:
-                xw[fid] = self._vo_points[src]
-                valid[fid] = True
-        if valid.sum() < 6:
-            return 0
-
-        obs = np.concatenate([frame.xy_un, frame.u_right[:, None]], axis=1)
-        res = self._jit_pose_opt(
-            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
-            jnp.asarray(xw), jnp.asarray(obs.astype(np.float32)),
-            jnp.asarray(self.inv_sigma2[frame.octave]), jnp.asarray(valid),
-            self.fx, self.fy, self.cx, self.cy, self.bf)
-        frame.set_pose(np.asarray(res.R), np.asarray(res.t))
-        inlier = np.asarray(res.inlier)
-        frame.outlier = valid & ~inlier
-        # drop outlier associations immediately (motion-model semantics)
-        frame.mp_idx[frame.outlier] = -1
-        return int((inlier & is_real).sum())
 
     # =================================================== reference-KF track
     def _track_reference_keyframe(self, frame: Frame) -> bool:
@@ -332,28 +298,20 @@ class Tracking:
         xw[rows[live]] = pt.pos[pids[live]]
         valid[rows[live]] = True
 
-        taken = jnp.asarray(frame.mp_idx >= 0)
         desc_p = np.zeros((kf.n_slots, 8), np.uint32)
         desc_p[rows[live]] = pt.desc32[pids[live]]
-        m = self._jit_match_last(
-            jnp.asarray(xw), jnp.asarray(desc_p), jnp.asarray(kf.octave),
-            jnp.asarray(kf.angle), jnp.asarray(valid),
-            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
-            frame.dev["xy"], frame.dev["u_right"], frame.dev["octave"],
-            frame.dev["angle"], frame.dev["desc32"], frame.dev["valid"], taken,
-            self.fx, self.fy, self.cx, self.cy, self.bf,
-            self.width, self.height,
-            jnp.asarray(self.scale_factors), 15.0, False, False)
-        if int(m.n_matches) < 15:
+        real_p = valid.copy()
+        n, res = self._run_motion_step(frame, kf, xw, desc_p, real_p, valid,
+                                       15.0, False, False)
+        if n < 15:
             return False
-        pof = np.asarray(m.point_of_feat)
-        feat_ids = np.nonzero(pof >= 0)[0]
-        for fid in feat_ids:
+        R, t, pof, n_real = res
+        frame.set_pose(R, t)
+        for fid in np.nonzero(pof >= 0)[0]:
             pid = kf.mp_idx[pof[fid]]
             if pid >= 0 and not pt.bad[pid]:
                 frame.mp_idx[fid] = pid
-        n_map = self._pose_optimize_frame(frame)
-        return n_map >= 10
+        return n_real >= 10
 
     def _relocalization(self, frame: Frame) -> bool:
         """Projection-based recovery from the last known pose (full
@@ -421,14 +379,14 @@ class Tracking:
         P = self.max_local_points
         cand = cand[-P:] if len(cand) > P else cand
         n_c = len(cand)
+        ids = np.asarray(cand, np.int64) if n_c else np.zeros(0, np.int64)
+        xw = np.zeros((P, 3), np.float32)
+        desc = np.zeros((P, 8), np.uint32)
+        normal = np.zeros((P, 3), np.float32)
+        mind = np.zeros(P, np.float32)
+        maxd = np.zeros(P, np.float32)
+        valid = np.zeros(P, bool)
         if n_c:
-            ids = np.asarray(cand, np.int64)
-            xw = np.zeros((P, 3), np.float32)
-            desc = np.zeros((P, 8), np.uint32)
-            normal = np.zeros((P, 3), np.float32)
-            mind = np.zeros(P, np.float32)
-            maxd = np.zeros(P, np.float32)
-            valid = np.zeros(P, bool)
             xw[:n_c] = pt.pos[ids]
             desc[:n_c] = pt.desc32[ids]
             normal[:n_c] = pt.normal[ids]
@@ -436,26 +394,54 @@ class Tracking:
             maxd[:n_c] = pt.max_dist[ids]
             valid[:n_c] = True
 
-            taken = jnp.asarray(frame.mp_idx >= 0)
-            m = self._jit_match_local(
-                jnp.asarray(xw), jnp.asarray(desc), jnp.asarray(valid),
-                jnp.asarray(normal), jnp.asarray(maxd), jnp.asarray(mind),
-                jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
-                jnp.asarray(frame.Ow),
-                frame.dev["xy"], frame.dev["u_right"], frame.dev["octave"],
-                frame.dev["desc32"], frame.dev["valid"], taken,
-                self.fx, self.fy, self.cx, self.cy, self.bf,
-                self.width, self.height,
-                jnp.asarray(self.scale_factors), self.log_scale,
-                self.n_levels, 1.0)
-            pof = np.asarray(m.point_of_feat)
-            feat_ids = np.nonzero(pof >= 0)[0]
-            for fid in feat_ids:
-                frame.mp_idx[fid] = ids[pof[fid]]
+        # existing associations (map + VO) by feature slot
+        n = frame.n_slots
+        exist_xw = np.zeros((n, 3), np.float32)
+        exist_valid = np.zeros(n, bool)
+        exist_real = np.zeros(n, bool)
+        mp_rows = np.nonzero(frame.mp_idx >= 0)[0]
+        if len(mp_rows):
+            pids = frame.mp_idx[mp_rows]
+            live = ~pt.bad[pids]
+            rows = mp_rows[live]
+            exist_xw[rows] = pt.pos[pids[live]]
+            exist_valid[rows] = True
+            exist_real[rows] = True
+        for fid in np.nonzero(frame.mp_idx <= -2)[0]:
+            src = self._decode_vo(frame.mp_idx[fid])
+            if src in self._vo_points:
+                exist_xw[fid] = self._vo_points[src]
+                exist_valid[fid] = True
+
+        out = self._jit_local_step(
+            jnp.asarray(xw), jnp.asarray(desc), jnp.asarray(valid),
+            jnp.asarray(normal), jnp.asarray(maxd), jnp.asarray(mind),
+            jnp.asarray(exist_xw), jnp.asarray(exist_valid),
+            jnp.asarray(exist_real),
+            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
+            jnp.asarray(frame.Ow),
+            frame.dev["xy_un"], frame.dev["u_right"], frame.dev["octave"],
+            frame.dev["desc32"], frame.dev["valid"],
+            jnp.asarray(self.inv_sigma2[frame.octave]),
+            self.fx, self.fy, self.cx, self.cy, self.bf,
+            self.width, self.height,
+            self._scale_factors_dev, self.log_scale, self.n_levels, 1.0)
+        R, t, pof, n_real = jax.device_get(
+            (out.R, out.t, out.point_of_feat, out.n_real_inliers))
+        frame.set_pose(R, t)
+        # new candidate matches
+        new_rows = np.nonzero(pof >= 0)[0]
+        if len(new_rows) and n_c:
+            frame.mp_idx[new_rows] = ids[pof[new_rows]]
+        # existing associations flagged outlier
+        drop = np.nonzero(pof == -2)[0]
+        frame.outlier = np.zeros(n, bool)
+        frame.outlier[drop] = True
+        frame.mp_idx[drop] = -1
+        if n_c:
             pt.visible[ids] += 1
 
-        n_inliers = self._pose_optimize_frame(frame)
-        # found counters
+        n_inliers = int(n_real)
         inl = np.nonzero(frame.mp_idx >= 0)[0]
         if len(inl):
             pt.found[frame.mp_idx[inl]] += 1
