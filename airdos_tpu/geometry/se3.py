@@ -50,13 +50,16 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix [..., 3, 3] -> axis-angle [..., 3]."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     # vee of the antisymmetric part
     v = jnp.stack([
         R[..., 2, 1] - R[..., 1, 2],
         R[..., 0, 2] - R[..., 2, 0],
         R[..., 1, 0] - R[..., 0, 1],
     ], axis=-1)
+    # atan2 form: arccos has an infinite derivative at theta = 0, which
+    # poisons autodiff (pose-graph Jacobians); atan2(|sin|, cos) is smooth
+    sin_t_n = 0.5 * jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 1e-12))
+    theta = jnp.arctan2(sin_t_n, cos_t)
     sin_t = jnp.sin(theta)
     small = jnp.abs(sin_t) < 1e-6
     near_pi = cos_t < -0.999
@@ -69,7 +72,9 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     S = 0.5 * (R + jnp.swapaxes(R, -1, -2))
     diag = jnp.stack([S[..., 0, 0], S[..., 1, 1], S[..., 2, 2]], axis=-1)
     axis_sq = jnp.clip((diag - cos_t[..., None]) / jnp.clip(1.0 - cos_t[..., None], 1e-12, None), 0.0, None)
-    axis = jnp.sqrt(axis_sq)
+    # lower-bounded sqrt keeps jacfwd/jacrev finite through the untaken
+    # branch of the jnp.where below (sqrt'(0) = inf would leak as NaN)
+    axis = jnp.sqrt(jnp.maximum(axis_sq, 1e-12))
     # fix signs using the off-diagonal terms of the vee vector (sign of v)
     sign = jnp.where(v >= 0, 1.0, -1.0)
     # when v ~ 0 (theta exactly pi) pick signs from largest components consistently
