@@ -119,6 +119,8 @@ class SlamConfig:
     device: DeviceConfig = dataclasses.field(default_factory=DeviceConfig)
     th_depth: float = 35.0            # close/far point threshold, × baseline
     meta_data_path: str = ""
+    vocabulary_path: str = ""         # .npz (ours) or ORBvoc .txt (DBoW2)
+    enable_loop_closing: bool = False  # reference: online mode only
 
     @property
     def th_depth_m(self) -> float:

@@ -153,7 +153,7 @@ class SyntheticStereoWorld:
         """Deterministic texture in [0, 1] at world coords.
 
         The sharp block octave is mip-selected per pixel: block size is the
-        smallest of {0.15 * 2^k} that is at least ~2.5x the pixel footprint,
+        smallest of {base * 2^k} that is at least ~2.5x the pixel footprint,
         so distant texture never aliases (aliasing would decorrelate the
         stereo views and poison descriptor matching)."""
         def hashed(xi, zi, s_off):
@@ -164,7 +164,7 @@ class SyntheticStereoWorld:
 
         out = np.zeros_like(x, dtype=np.float64)
         # mip-correct sharp blocks
-        base = 0.15
+        base = 0.04
         if footprint is None:
             scale = np.full_like(x, base)
         else:

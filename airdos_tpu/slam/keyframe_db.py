@@ -32,6 +32,9 @@ class KeyFrameDatabase:
             kf.feat_nodes = fnodes
 
     def add(self, kf: KeyFrame):
+        if getattr(kf, "_in_db", False):
+            return
+        kf._in_db = True
         self.ensure_bow(kf)
         for w in kf.bow:
             self.inverted[w].append(kf.id)

@@ -17,6 +17,11 @@ from typing import Dict, List, Optional, Set
 
 import numpy as np
 
+try:                               # optional C++ host runtime
+    from airdos_tpu.native import airdos_native as _native
+except Exception:                  # pragma: no cover - fallback path
+    _native = None
+
 # skeleton topology (reference: Map.h:48-56)
 BODY1 = np.array([1, 1, 2, 3, 1, 5, 6, 2, 8, 9, 5, 11, 12, 1], np.int32)
 BODY2 = np.array([0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 1], np.int32)
@@ -292,9 +297,14 @@ class SlamMap:
         if not descs:
             return
         D = np.asarray(descs)
+        if _native is not None:
+            idx = _native.distinctive_descriptor(
+                np.ascontiguousarray(D.view(np.uint8).reshape(len(D), 32)))
+            pt.desc32[pid] = D[idx]
+            return
         x = D[:, None, :] ^ D[None, :, :]
         dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
-        med = np.median(dist, axis=1)
+        med = np.sort(dist, axis=1)[:, (len(D) - 1) // 2]
         pt.desc32[pid] = D[int(np.argmin(med))]
 
     def update_point_normal_depth(self, pid: int):

@@ -46,6 +46,17 @@ class System:
             if config.human.ok else None
         self._frame_count = 0
         self._last_human_ba_frame = 0
+        # place recognition: load a vocabulary now, or train a scene
+        # vocabulary lazily from the first keyframe's descriptors
+        self.vocabulary = None
+        self.keyframe_db = None
+        self.loop_closer = None
+        if config.vocabulary_path:
+            from airdos_tpu.bow.vocabulary import Vocabulary, load_dbow2_text
+            p = str(config.vocabulary_path)
+            self.vocabulary = (Vocabulary.load_npz(p) if p.endswith(".npz")
+                               else load_dbow2_text(p))
+            self._init_place_recognition()
         self.track_times: List[float] = []
         self.viewer = None
         if use_viewer:
@@ -60,6 +71,35 @@ class System:
     def track_stereo_human(self, data: FrameData):
         """TrackStereoHuman — stereo + dynamic-human pipeline."""
         return self._track(data)
+
+    def _init_place_recognition(self):
+        from airdos_tpu.slam.keyframe_db import KeyFrameDatabase
+        from airdos_tpu.slam.loop_closing import LoopCloser
+        self.keyframe_db = KeyFrameDatabase(self.vocabulary, self.map)
+        self.tracking.keyframe_db = self.keyframe_db
+        self.loop_closer = LoopCloser(self.config, self.map, self.keyframe_db,
+                                      self.frontend.extractor,
+                                      fuser=self.local_mapper.fuser)
+        for kf in self.map.kfs.values():
+            if not kf.bad:
+                self.keyframe_db.add(kf)
+
+    def _maybe_train_vocabulary(self):
+        """Train a small scene vocabulary from the first keyframes'
+        descriptors (the reference instead loads the 145 MB ORBvoc.txt;
+        config.vocabulary_path accepts that format too)."""
+        if self.vocabulary is not None or self.map.n_keyframes() < 1:
+            return
+        from airdos_tpu.bow.vocabulary import train_vocabulary
+        descs = []
+        for kf in self.map.kfs.values():
+            d = kf.desc32[kf.valid]
+            descs.append(d.view(np.uint8).reshape(len(d), 32))
+        train = np.concatenate(descs, axis=0)
+        if len(train) < 200:
+            return
+        self.vocabulary = train_vocabulary(train, k=8, depth=3)
+        self._init_place_recognition()
 
     def _track(self, data: FrameData):
         t0 = time.perf_counter()
@@ -82,6 +122,13 @@ class System:
                     and run_static:
                 self.static_ba(prev_kf)
             lm.cull_keyframes(prev_kf)
+            self._maybe_train_vocabulary()
+            if self.keyframe_db is not None and not prev_kf.bad:
+                if self.loop_closer is not None and \
+                        self.config.enable_loop_closing:
+                    self.loop_closer.process(prev_kf)
+                else:
+                    self.keyframe_db.add(prev_kf)
 
         # human-trajectory local BA every max_frames frames (OffLineTrack,
         # Tracking.cc:705-717)

@@ -71,6 +71,7 @@ class Tracking:
         self.log_scale = float(np.log(orb.scale_factor))
         self.n_levels = orb.n_levels
 
+        self.keyframe_db = None          # set by System once the vocab exists
         self.last_frame: Optional[Frame] = None
         self.current: Optional[Frame] = None
         self.velocity: Optional[tuple] = None       # (R, t) of Tcl (cur<-last)
@@ -314,11 +315,91 @@ class Tracking:
         return n_real >= 10
 
     def _relocalization(self, frame: Frame) -> bool:
-        """Projection-based recovery from the last known pose (full
-        BoW+EPnP relocalization lands with the place-recognition stack)."""
+        """BoW candidate retrieval + EPnP-RANSAC + pose refinement
+        (reference: Tracking::Relocalization, Tracking.cc:1493-1654),
+        falling back to projection from the last pose when no database."""
+        if self.keyframe_db is not None and self.map.kfs:
+            if self._relocalize_bow(frame):
+                self.last_reloc_frame = frame.index
+                return True
         if self.last_frame is None:
             return False
         return self._track_reference_keyframe(frame)
+
+    def _relocalize_bow(self, frame: Frame) -> bool:
+        from airdos_tpu.matching.bow_match import match_by_bow
+        from airdos_tpu.solvers.epnp import epnp_ransac
+        db = self.keyframe_db
+        bow, wids, fnodes = db.voc.transform(frame.desc32, frame.valid)
+        cands = db.detect_reloc_candidates(bow)
+        pt = self.map.points
+        rng = np.random.default_rng(frame.index)
+        for kid in cands[:5]:
+            kf = self.map.kfs.get(kid)
+            if kf is None or kf.bad:
+                continue
+            db.ensure_bow(kf)
+            m = jax.jit(match_by_bow, static_argnames=("check_rotation",))(
+                jnp.asarray(kf.desc32), jnp.asarray(kf.feat_nodes),
+                jnp.asarray(kf.valid), jnp.asarray(kf.angle),
+                frame.dev["desc32"], jnp.asarray(fnodes),
+                frame.dev["valid"], frame.dev["angle"])
+            idx2 = np.asarray(m.idx2)
+            rows = []
+            for f1 in np.nonzero(idx2 >= 0)[0]:
+                pid = int(kf.mp_idx[f1])
+                if pid >= 0 and not pt.bad[pid]:
+                    rows.append((pid, int(idx2[f1])))
+            if len(rows) < 15:
+                continue
+            n = len(rows)
+            pw = pt.pos[[r[0] for r in rows]].astype(np.float32)
+            feat_ids = np.asarray([r[1] for r in rows])
+            uv = frame.xy_un[feat_ids].astype(np.float32)
+            max_err2 = (5.991 / self.inv_sigma2[frame.octave[feat_ids]]).astype(np.float32)
+            samples = rng.integers(0, n, (256, 4)).astype(np.int32)
+            res = epnp_ransac(jnp.asarray(pw), jnp.asarray(uv),
+                              jnp.ones(n, bool), jnp.asarray(max_err2),
+                              jnp.asarray(samples),
+                              self.fx, self.fy, self.cx, self.cy)
+            if int(res.n_inliers) < 10:
+                continue
+            frame.set_pose(np.asarray(res.R), np.asarray(res.t))
+            inl = np.asarray(res.inliers)
+            for (pid, fid), keep in zip(rows, inl):
+                if keep:
+                    frame.mp_idx[fid] = pid
+            # refine with motion-only BA over the associations
+            n_real = self._opt_pose_with_assoc(frame)
+            if n_real >= 15:
+                frame.ref_kf_id = kid
+                return True
+            frame.mp_idx[:] = -1
+        return False
+
+    def _opt_pose_with_assoc(self, frame: Frame) -> int:
+        pt = self.map.points
+        n = frame.n_slots
+        xw = np.zeros((n, 3), np.float32)
+        valid = np.zeros(n, bool)
+        rows = np.nonzero(frame.mp_idx >= 0)[0]
+        if len(rows) < 6:
+            return 0
+        pids = frame.mp_idx[rows]
+        live = ~pt.bad[pids]
+        xw[rows[live]] = pt.pos[pids[live]]
+        valid[rows[live]] = True
+        obs = np.concatenate([frame.xy_un, frame.u_right[:, None]],
+                             axis=1).astype(np.float32)
+        res = self._jit_pose_opt(
+            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
+            jnp.asarray(xw), jnp.asarray(obs),
+            jnp.asarray(self.inv_sigma2[frame.octave]), jnp.asarray(valid),
+            self.fx, self.fy, self.cx, self.cy, self.bf)
+        frame.set_pose(np.asarray(res.R), np.asarray(res.t))
+        inlier = np.asarray(res.inlier)
+        frame.mp_idx[valid & ~inlier] = -1
+        return int(inlier.sum())
 
     # ======================================================= local map
     def _local_keyframes(self, frame: Frame) -> List[int]:
