@@ -148,41 +148,54 @@ class Triangulator:
         self.sigma2 = extractor.sigma2
         self.log_scale = float(np.log(config.orb.scale_factor))
         self.n_levels = config.orb.n_levels
-        self._jit = jax.jit(triangulate_pair, static_argnames=("n_levels",))
+        self.n_neighbors = 4     # batched in one dispatch
+        # vmap over the neighbor axis -> ONE device dispatch per keyframe
+        # (n_levels is unused inside triangulate_pair; all args positional)
+        self._jit = jax.jit(
+            jax.vmap(triangulate_pair,
+                     in_axes=(None,) * 8 + (0,) * 8 + (None,) * 9))
 
-    def __call__(self, kf: KeyFrame, n_neighbors: int = 10):
+    def __call__(self, kf: KeyFrame, n_neighbors: int = None):
         m = self.map
-        neighbors = [k for k in kf.best_covisible(n_neighbors) if not m.kfs[k].bad]
+        K = n_neighbors or self.n_neighbors
+        neighbors = []
+        for nid in kf.best_covisible(10):
+            nkf = m.kfs.get(nid)
+            if nkf is None or nkf.bad:
+                continue
+            if np.linalg.norm(nkf.Ow - kf.Ow) < self.bf / self.fx * 0.01:
+                continue
+            neighbors.append(nkf)
+            if len(neighbors) == K:
+                break
         if not neighbors:
-            return
+            return 0
+        # pad the batch by repeating the first neighbor (results discarded)
+        batch = neighbors + [neighbors[0]] * (K - len(neighbors))
+        free1 = (kf.mp_idx < 0) & kf.valid
+
+        def stack(attr):
+            return jnp.asarray(np.stack([getattr(n, attr) for n in batch]))
+
+        free2 = np.stack([(n.mp_idx < 0) & n.valid for n in batch])
+        res = self._jit(
+            jnp.asarray(kf.xy_un), jnp.asarray(kf.octave),
+            jnp.asarray(kf.u_right), jnp.asarray(kf.depth),
+            jnp.asarray(kf.desc32), jnp.asarray(free1),
+            jnp.asarray(kf.Rcw), jnp.asarray(kf.tcw),
+            stack("xy_un"), stack("octave"), stack("u_right"), stack("depth"),
+            stack("desc32"), jnp.asarray(free2), stack("Rcw"), stack("tcw"),
+            self.fx, self.fy, self.cx, self.cy, self.bf,
+            jnp.asarray(self.scale_factors), jnp.asarray(self.sigma2),
+            self.log_scale, self.n_levels)
+        valid_b, idx2_b, X_b = jax.device_get((res.valid, res.idx2, res.points))
+
         created_total = 0
-        for nid in neighbors:
-            nkf = m.kfs[nid]
-            # baseline check (reference: stereo requires baseline > b/median depth... )
-            baseline = np.linalg.norm(nkf.Ow - kf.Ow)
-            if baseline < self.bf / self.fx * 0.01:
-                continue
-            free1 = (kf.mp_idx < 0) & kf.valid
-            free2 = (nkf.mp_idx < 0) & nkf.valid
-            res = self._jit(
-                jnp.asarray(kf.xy_un), jnp.asarray(kf.octave),
-                jnp.asarray(kf.u_right), jnp.asarray(kf.depth),
-                jnp.asarray(kf.desc32), jnp.asarray(free1),
-                jnp.asarray(kf.Rcw), jnp.asarray(kf.tcw),
-                jnp.asarray(nkf.xy_un), jnp.asarray(nkf.octave),
-                jnp.asarray(nkf.u_right), jnp.asarray(nkf.depth),
-                jnp.asarray(nkf.desc32), jnp.asarray(free2),
-                jnp.asarray(nkf.Rcw), jnp.asarray(nkf.tcw),
-                self.fx, self.fy, self.cx, self.cy, self.bf,
-                jnp.asarray(self.scale_factors), jnp.asarray(self.sigma2),
-                self.log_scale, self.n_levels)
-            valid = np.asarray(res.valid)
-            idx2 = np.asarray(res.idx2)
-            X = np.asarray(res.points)
+        for b, nkf in enumerate(neighbors):
+            valid = valid_b[b]
+            idx2 = idx2_b[b]
+            X = X_b[b]
             f1 = np.nonzero(valid & (kf.mp_idx < 0))[0]
-            if len(f1) == 0:
-                continue
-            # uniqueness on the neighbor side: first come wins
             used2 = set()
             for fid in f1:
                 f2 = int(idx2[fid])
@@ -212,6 +225,11 @@ class Fuser:
         self.n_levels = config.orb.n_levels
         self.P = config.device.max_local_points
         self._jit = jax.jit(fuse_candidates, static_argnames=("n_levels",))
+        # direction-1 batched over target keyframes: ONE dispatch
+        self._jit_batch = jax.jit(
+            jax.vmap(fuse_candidates,
+                     in_axes=(None,) * 6 + (0,) * 8 + (None,) * 12))
+        self.max_targets = 8
 
     def _fuse_into(self, point_ids: List[int], target: KeyFrame):
         m = self.map
@@ -266,6 +284,65 @@ class Fuser:
                 m.update_point_descriptor(pid)
                 m.update_point_normal_depth(pid)
 
+    def _fuse_into_batch(self, point_ids: List[int], targets: List[KeyFrame]):
+        """Fuse one candidate set into several target KFs — one dispatch."""
+        m = self.map
+        pt = m.points
+        point_ids = [p for p in point_ids if not pt.bad[p]][: self.P]
+        if not point_ids or not targets:
+            return
+        n = len(point_ids)
+        P = self.P
+        ids = np.asarray(point_ids)
+        xw = np.zeros((P, 3), np.float32)
+        desc = np.zeros((P, 8), np.uint32)
+        normal = np.zeros((P, 3), np.float32)
+        mind = np.zeros(P, np.float32)
+        maxd = np.zeros(P, np.float32)
+        valid = np.zeros(P, bool)
+        xw[:n] = pt.pos[ids]
+        desc[:n] = pt.desc32[ids]
+        normal[:n] = pt.normal[ids]
+        mind[:n] = pt.min_dist[ids]
+        maxd[:n] = pt.max_dist[ids]
+        valid[:n] = True
+
+        def stack(fn):
+            return jnp.asarray(np.stack([fn(t) for t in targets]))
+
+        res = self._jit_batch(
+            jnp.asarray(xw), jnp.asarray(desc), jnp.asarray(valid),
+            jnp.asarray(normal), jnp.asarray(maxd), jnp.asarray(mind),
+            stack(lambda t: t.Rcw), stack(lambda t: t.tcw),
+            stack(lambda t: t.Ow),
+            stack(lambda t: t.xy_un), stack(lambda t: t.u_right),
+            stack(lambda t: t.octave), stack(lambda t: t.desc32),
+            stack(lambda t: t.valid),
+            self.fx, self.fy, self.cx, self.cy, self.bf,
+            self.width, self.height,
+            jnp.asarray(self.scale_factors), jnp.asarray(self.sigma2),
+            self.log_scale, self.n_levels, 3.0)
+        feat_idx_b = np.asarray(res.feat_idx)
+        for b, target in enumerate(targets):
+            feat_idx = feat_idx_b[b]
+            for i in range(n):
+                fid = int(feat_idx[i])
+                if fid < 0:
+                    continue
+                pid = int(ids[i])
+                if pt.bad[pid] or target.id in pt.obs[pid]:
+                    continue
+                existing = int(target.mp_idx[fid])
+                if existing >= 0 and not pt.bad[existing]:
+                    if pt.n_obs[existing] > pt.n_obs[pid]:
+                        m.replace_point(pid, existing)
+                    else:
+                        m.replace_point(existing, pid)
+                else:
+                    m.add_observation(pid, target, fid)
+                    m.update_point_descriptor(pid)
+                    m.update_point_normal_depth(pid)
+
     def __call__(self, kf: KeyFrame, n_neighbors: int = 10):
         m = self.map
         targets = []
@@ -279,10 +356,10 @@ class Fuser:
                 if n2 is not None and not n2.bad and n2.id != kf.id and \
                         n2 not in targets:
                     targets.append(n2)
-        # direction 1: current KF's points into each neighbor
+        targets = targets[: self.max_targets]
+        # direction 1: current KF's points into every neighbor (one dispatch)
         kf_points = [int(p) for p in kf.mp_idx[kf.mp_idx >= 0]]
-        for tkf in targets:
-            self._fuse_into(kf_points, tkf)
+        self._fuse_into_batch(kf_points, targets)
         # direction 2: neighbors' points into the current KF
         fuse_cand: List[int] = []
         seen = set()

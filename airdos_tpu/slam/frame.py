@@ -105,20 +105,36 @@ class Frame:
 
     def __init__(self, frontend: FrontEnd, data, fL, fR, sm, xy_un_dev,
                  disparity_dev):
+        dev = dict(xy=fL.xy, xy_un=xy_un_dev, octave=fL.octave,
+                   angle=fL.angle, desc32=fL.desc32, valid=fL.valid,
+                   u_right=sm.u_right, depth=sm.depth)
+        host = jax.device_get((fL.xy, fL.response, fL.angle, fL.octave,
+                               fL.desc32, fL.valid, sm.u_right, sm.depth,
+                               xy_un_dev, disparity_dev))
+        self._init_from_arrays(frontend, data, dev, host)
+
+    @classmethod
+    def from_track_result(cls, frontend: FrontEnd, data, res, host):
+        """Build from a fused FullTrackResult (host = device_get of it)."""
+        self = cls.__new__(cls)
+        dev = dict(xy=res.xy, xy_un=res.xy_un, octave=res.octave,
+                   angle=res.angle, desc32=res.desc32, valid=res.valid,
+                   u_right=res.u_right, depth=res.depth)
+        disp = host.disparity if host.disparity.ndim == 2 and \
+            host.disparity.shape[0] > 1 else None
+        host_tuple = (host.xy, host.response, host.angle, host.octave,
+                      host.desc32, host.valid, host.u_right, host.depth,
+                      host.xy_un, disp)
+        self._init_from_arrays(frontend, data, dev, host_tuple)
+        return self
+
+    def _init_from_arrays(self, frontend: FrontEnd, data, dev, host):
         self.frontend = frontend
         self.config = frontend.config
         self.camera = frontend.camera
         self.index = data.index
         self.timestamp = data.timestamp
-
-        # device copies kept for matching kernels
-        self.dev = dict(xy=fL.xy, xy_un=xy_un_dev, octave=fL.octave,
-                        angle=fL.angle, desc32=fL.desc32, valid=fL.valid,
-                        u_right=sm.u_right, depth=sm.depth)
-        # ONE device->host round trip for every measurement array
-        host = jax.device_get((fL.xy, fL.response, fL.angle, fL.octave,
-                               fL.desc32, fL.valid, sm.u_right, sm.depth,
-                               xy_un_dev, disparity_dev))
+        self.dev = dev
         (self.xy, self.response, self.angle, self.octave, self.desc32,
          self.valid, self.u_right, self.depth, self.xy_un, disparity) = host
         self.n_slots = self.xy.shape[0]

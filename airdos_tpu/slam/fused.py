@@ -87,3 +87,89 @@ def local_map_step(xw_c, desc_c, valid_c, normal_c, maxd_c, mind_c,
                         jnp.where(exist_valid & ~inl, -2, -1))
     return TrackStepResult(R=res.R, t=res.t, point_of_feat=pof_out,
                            n_matches=m.n_matches, n_real_inliers=n_real)
+
+
+class FullTrackResult(NamedTuple):
+    # frame measurement arrays (device)
+    xy: jnp.ndarray
+    xy_un: jnp.ndarray
+    response: jnp.ndarray
+    angle: jnp.ndarray
+    octave: jnp.ndarray
+    desc: jnp.ndarray
+    desc32: jnp.ndarray
+    valid: jnp.ndarray
+    u_right: jnp.ndarray
+    depth: jnp.ndarray
+    disparity: jnp.ndarray
+    # tracking results
+    R: jnp.ndarray
+    t: jnp.ndarray
+    motion_pof: jnp.ndarray      # [N] last-frame slot per feature (-1)
+    local_pof: jnp.ndarray       # [N] candidate index / -2 drop existing / -1
+    n_motion: jnp.ndarray        # matches in the motion stage
+    n_inliers: jnp.ndarray       # final inliers to real points
+
+
+def make_full_track_step(frontend, config):
+    """Build the one-dispatch-per-frame tracking program.
+
+    Fuses: pyramid/FAST/rBRIEF/stereo front-end -> motion-model projection
+    match (with the reference's x2-window retry as a lax.cond) -> pose LM ->
+    local-map projection match -> pose LM.  Only the final padded result
+    arrays ever leave the device.
+    """
+    cam = config.camera
+    fx, fy, cx, cy, bf = cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+    width, height = cam.width, cam.height
+    orb = config.orb
+    import numpy as _np
+    scale_factors = jnp.asarray(
+        [orb.scale_factor ** l for l in range(orb.n_levels)], jnp.float32)
+    inv_sigma2 = 1.0 / (scale_factors ** 2)
+    log_scale = float(_np.log(orb.scale_factor))
+    n_levels = orb.n_levels
+
+    def step(imL, imR, maskL, maskR,
+             R_prior, t_prior,
+             xw_p, desc_p, oct_p, ang_p, valid_p, real_p,
+             xw_c, desc_c, valid_c, normal_c, maxd_c, mind_c,
+             forward, backward, with_disparity):
+        fL, fR, sm, xy_un, disp = frontend._build_impl(
+            imL, imR, maskL, maskR, with_disparity=with_disparity)
+        isig = inv_sigma2[fL.octave]
+
+        def motion(th):
+            return motion_model_step(
+                xw_p, desc_p, oct_p, ang_p, valid_p, real_p,
+                R_prior, t_prior,
+                xy_un, sm.u_right, fL.octave, fL.angle, fL.desc32, fL.valid,
+                isig, fx, fy, cx, cy, bf, width, height,
+                scale_factors, th, forward, backward)
+
+        m7 = motion(7.0)
+        m = jax.lax.cond(m7.n_matches < 20, lambda: motion(14.0), lambda: m7)
+
+        # existing associations for the local stage = motion inlier matches
+        src = jnp.maximum(m.point_of_feat, 0)
+        exist_valid = m.point_of_feat >= 0
+        exist_xw = xw_p[src]
+        exist_real = real_p[src] & exist_valid
+
+        loc = local_map_step(
+            xw_c, desc_c, valid_c, normal_c, maxd_c, mind_c,
+            exist_xw, exist_valid, exist_real,
+            m.R, m.t, -m.R.T @ m.t,
+            xy_un, sm.u_right, fL.octave, fL.desc32, fL.valid, isig,
+            fx, fy, cx, cy, bf, width, height,
+            scale_factors, log_scale, n_levels, 1.0)
+
+        return FullTrackResult(
+            xy=fL.xy, xy_un=xy_un, response=fL.response, angle=fL.angle,
+            octave=fL.octave, desc=fL.desc, desc32=fL.desc32, valid=fL.valid,
+            u_right=sm.u_right, depth=sm.depth, disparity=disp,
+            R=loc.R, t=loc.t, motion_pof=m.point_of_feat,
+            local_pof=loc.point_of_feat, n_motion=m.n_matches,
+            n_inliers=loc.n_real_inliers)
+
+    return jax.jit(step, static_argnames=("with_disparity",))

@@ -72,6 +72,7 @@ class Tracking:
         self.n_levels = orb.n_levels
 
         self.keyframe_db = None          # set by System once the vocab exists
+        self._full_step = None           # lazily-built fused tracking program
         self.last_frame: Optional[Frame] = None
         self.current: Optional[Frame] = None
         self.velocity: Optional[tuple] = None       # (R, t) of Tcl (cur<-last)
@@ -95,25 +96,36 @@ class Tracking:
     # ================================================================ api
     def track(self, data) -> Frame:
         """Process one stereo frame (GrabImageStereo[Human] + OffLineTrack)."""
-        frame = self.frontend.build_frame(data)
+        frame = None
+        fast_ok = None
+        if self.state == TrackState.OK and self.velocity is not None:
+            frame, fast_ok = self._track_fast(data)
+        if frame is None:
+            frame = self.frontend.build_frame(data)
         self.current = frame
 
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self.state = TrackState.NOT_INITIALIZED
             self._stereo_initialization(frame)
         else:
-            ok = False
-            if self.state == TrackState.OK:
-                if self.velocity is not None:
-                    ok = self._track_with_motion_model(frame)
+            if fast_ok is not None:
+                ok = fast_ok
                 if not ok:
+                    frame.mp_idx[:] = -1
                     ok = self._track_reference_keyframe(frame)
+                    if ok:
+                        ok = self._track_local_map(frame)
             else:
-                ok = self._relocalization(frame)
-
-            if ok:
-                ok = self._track_local_map(frame)
-
+                ok = False
+                if self.state == TrackState.OK:
+                    if self.velocity is not None:
+                        ok = self._track_with_motion_model(frame)
+                    if not ok:
+                        ok = self._track_reference_keyframe(frame)
+                else:
+                    ok = self._relocalization(frame)
+                if ok:
+                    ok = self._track_local_map(frame)
             if ok:
                 self.state = TrackState.OK
                 self._update_velocity(frame)
@@ -168,6 +180,140 @@ class Tracking:
         self.records = []
         if self.local_mapper is not None:
             self.local_mapper.recent_points = []
+
+    # ==================================================== fast fused path
+    def _candidate_arrays(self, ref_frame: Frame):
+        """Local-map candidate tables based on a frame's associations."""
+        pt = self.map.points
+        saved_ref = ref_frame.ref_kf_id
+        local_kfs = self._local_keyframes(ref_frame)
+        ref_frame.ref_kf_id = saved_ref
+        matched = set(int(p) for p in ref_frame.mp_idx[ref_frame.mp_idx >= 0])
+        cand, seen = [], set()
+        for kf_id in local_kfs:
+            kf = self.map.kfs.get(kf_id)
+            if kf is None:
+                continue
+            for pid in kf.mp_idx[kf.mp_idx >= 0]:
+                p = int(pid)
+                if p in seen or p in matched or pt.bad[p]:
+                    continue
+                seen.add(p)
+                cand.append(p)
+        P = self.max_local_points
+        cand = cand[-P:] if len(cand) > P else cand
+        n_c = len(cand)
+        ids = np.asarray(cand, np.int64) if n_c else np.zeros(0, np.int64)
+        xw = np.zeros((P, 3), np.float32)
+        desc = np.zeros((P, 8), np.uint32)
+        normal = np.zeros((P, 3), np.float32)
+        mind = np.zeros(P, np.float32)
+        maxd = np.zeros(P, np.float32)
+        valid = np.zeros(P, bool)
+        if n_c:
+            xw[:n_c] = pt.pos[ids]
+            desc[:n_c] = pt.desc32[ids]
+            normal[:n_c] = pt.normal[ids]
+            mind[:n_c] = pt.min_dist[ids]
+            maxd[:n_c] = pt.max_dist[ids]
+            valid[:n_c] = True
+        return ids, xw, desc, valid, normal, maxd, mind
+
+    def _track_fast(self, data):
+        """One device dispatch for front-end + motion + local-map tracking."""
+        lf = self.last_frame
+        if lf is None:
+            return None, None
+        if self._full_step is None:
+            from airdos_tpu.slam.fused import make_full_track_step
+            self._full_step = make_full_track_step(self.frontend, self.config)
+
+        self._update_last_frame_vo_points()
+        xw_p, valid_p = self._gather_last_frame_points(lf)
+        if valid_p.sum() < 10:
+            return None, None
+        pt = self.map.points
+        desc_p = np.zeros((lf.n_slots, 8), np.uint32)
+        real_p = np.zeros(lf.n_slots, bool)
+        has_mp = lf.mp_idx >= 0
+        mp_rows = np.nonzero(has_mp & valid_p)[0]
+        desc_p[mp_rows] = pt.desc32[lf.mp_idx[mp_rows]]
+        real_p[mp_rows] = True
+        vo_rows = [i for i in self._vo_points if not has_mp[i]]
+        if vo_rows:
+            desc_p[vo_rows] = lf.desc32[vo_rows]
+
+        ids, xw_c, desc_c, valid_c, normal_c, maxd_c, mind_c = \
+            self._candidate_arrays(lf)
+
+        Rv, tv = self.velocity
+        Rp = (Rv @ lf.Rcw).astype(np.float32)
+        tp = (Rv @ lf.tcw + tv).astype(np.float32)
+        ow_pred = -Rp.T @ tp
+        t_lc = lf.Rcw @ (ow_pred - lf.Ow)
+        forward = bool(t_lc[2] > self.baseline)
+        backward = bool(-t_lc[2] > self.baseline)
+
+        cfg = self.config
+        imL = jnp.asarray(data.image_left, jnp.float32)
+        imR = jnp.asarray(data.image_right, jnp.float32)
+        use_mask = cfg.system.is_mask and data.seg_left is not None
+        if use_mask:
+            maskL = jnp.asarray(data.seg_left == 0, jnp.float32)
+            maskR = jnp.asarray(data.seg_right == 0, jnp.float32)
+        else:
+            maskL = jnp.ones_like(imL)
+            maskR = jnp.ones_like(imL)
+        want_disp = bool(cfg.human.ok and data.humans_left is not None
+                         and len(data.humans_left) > 0)
+
+        res = self._full_step(imL, imR, maskL, maskR,
+                              jnp.asarray(Rp), jnp.asarray(tp),
+                              jnp.asarray(xw_p), jnp.asarray(desc_p),
+                              jnp.asarray(lf.octave), jnp.asarray(lf.angle),
+                              jnp.asarray(valid_p), jnp.asarray(real_p),
+                              jnp.asarray(xw_c), jnp.asarray(desc_c),
+                              jnp.asarray(valid_c), jnp.asarray(normal_c),
+                              jnp.asarray(maxd_c), jnp.asarray(mind_c),
+                              forward, backward, with_disparity=want_disp)
+        host = jax.device_get(res)
+        frame = Frame.from_track_result(self.frontend, data, res, host)
+        frame.set_pose(host.R, host.t)
+
+        n_motion = int(host.n_motion)
+        n_inliers = int(host.n_inliers)
+        if n_motion < 20:
+            return frame, False
+
+        # associations: motion matches (last-frame slots -> pids/VO)
+        mp_idx = frame.mp_idx
+        mpof = host.motion_pof
+        for fid in np.nonzero(mpof >= 0)[0]:
+            src = mpof[fid]
+            pid = lf.mp_idx[src]
+            if pid >= 0 and not pt.bad[pid]:
+                mp_idx[fid] = pid
+            elif src in self._vo_points:
+                mp_idx[fid] = -2 - src
+        # local candidate matches
+        lpof = host.local_pof
+        new_rows = np.nonzero(lpof >= 0)[0]
+        if len(new_rows) and len(ids):
+            mp_idx[new_rows] = ids[lpof[new_rows]]
+        drop = np.nonzero(lpof == -2)[0]
+        frame.outlier = np.zeros(frame.n_slots, bool)
+        frame.outlier[drop] = True
+        mp_idx[drop] = -1
+
+        if len(ids):
+            pt.visible[ids] += 1
+        found_rows = np.nonzero(mp_idx >= 0)[0]
+        if len(found_rows):
+            pt.found[mp_idx[found_rows]] += 1
+        self.n_inliers = n_inliers
+        self._local_keyframes(frame)     # sets frame.ref_kf_id
+        ok = n_inliers >= 30 or (self.map.n_keyframes() <= 2 and n_inliers >= 15)
+        return frame, ok
 
     # ==================================================== frame-to-frame
     def _gather_last_frame_points(self, frame_last: Frame):
