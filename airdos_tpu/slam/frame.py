@@ -60,6 +60,10 @@ class FrontEnd:
     def _build_impl(self, imL, imR, maskL, maskR, with_disparity: bool):
         cfg = self.config
         orb = cfg.orb
+        imL = imL.astype(jnp.float32)
+        imR = imR.astype(jnp.float32)
+        maskL = maskL.astype(jnp.float32)
+        maskR = maskR.astype(jnp.float32)
         h, w = imL.shape
         pyrL = build_pyramid(imL, maskL, orb.n_levels, orb.scale_factor)
         pyrR = build_pyramid(imR, maskR, orb.n_levels, orb.scale_factor)
@@ -81,16 +85,17 @@ class FrontEnd:
     def build_frame(self, data, index: int = None) -> "Frame":
         """data: io.datasets.FrameData."""
         cfg = self.config
-        imL = jnp.asarray(data.image_left, jnp.float32)
-        imR = jnp.asarray(data.image_right, jnp.float32)
+        # uint8 uploads — the device program casts to f32
+        imL = jnp.asarray(np.asarray(data.image_left, np.uint8))
+        imR = jnp.asarray(np.asarray(data.image_right, np.uint8))
         use_mask = cfg.system.is_mask and data.seg_left is not None
         if use_mask:
             # seg nonzero = dynamic -> usable mask is (seg == 0)
-            maskL = jnp.asarray(data.seg_left == 0, jnp.float32)
-            maskR = jnp.asarray(data.seg_right == 0, jnp.float32)
+            maskL = jnp.asarray((data.seg_left == 0).astype(np.uint8))
+            maskR = jnp.asarray((data.seg_right == 0).astype(np.uint8))
         else:
-            maskL = jnp.ones_like(imL)
-            maskR = jnp.ones_like(imR)
+            maskL = jnp.ones((cfg.camera.height, cfg.camera.width), jnp.uint8)
+            maskR = maskL
         want_disp = bool(cfg.human.ok and data.humans_left is not None
                          and len(data.humans_left) > 0)
         fL, fR, sm, xy_un, disp = self._build(imL, imR, maskL, maskR,
@@ -114,19 +119,31 @@ class Frame:
         self._init_from_arrays(frontend, data, dev, host)
 
     @classmethod
-    def from_track_result(cls, frontend: FrontEnd, data, res, host):
-        """Build from a fused FullTrackResult (host = device_get of it)."""
+    def from_track_result(cls, frontend: FrontEnd, data, host):
+        """Build from a device_get'd packed FullTrackResult."""
         self = cls.__new__(cls)
-        dev = dict(xy=res.xy, xy_un=res.xy_un, octave=res.octave,
-                   angle=res.angle, desc32=res.desc32, valid=res.valid,
-                   u_right=res.u_right, depth=res.depth)
+        f32 = host.feat_f32
+        i32 = host.feat_i32
         disp = host.disparity if host.disparity.ndim == 2 and \
             host.disparity.shape[0] > 1 else None
-        host_tuple = (host.xy, host.response, host.angle, host.octave,
-                      host.desc32, host.valid, host.u_right, host.depth,
-                      host.xy_un, disp)
-        self._init_from_arrays(frontend, data, dev, host_tuple)
+        host_tuple = (f32[:, 0:2], f32[:, 4], f32[:, 5],
+                      i32[:, 0], host.desc32, i32[:, 1] > 0,
+                      f32[:, 6], f32[:, 7], f32[:, 2:4], disp)
+        # dev handles are rebuilt lazily from host copies (fallback paths
+        # only) — the fused fast path never needs them
+        self._init_from_arrays(frontend, data, None, host_tuple)
         return self
+
+    @property
+    def dev(self):
+        if self._dev is None:
+            self._dev = dict(
+                xy=jnp.asarray(self.xy), xy_un=jnp.asarray(self.xy_un),
+                octave=jnp.asarray(self.octave), angle=jnp.asarray(self.angle),
+                desc32=jnp.asarray(self.desc32), valid=jnp.asarray(self.valid),
+                u_right=jnp.asarray(self.u_right),
+                depth=jnp.asarray(self.depth))
+        return self._dev
 
     def _init_from_arrays(self, frontend: FrontEnd, data, dev, host):
         self.frontend = frontend
@@ -134,9 +151,13 @@ class Frame:
         self.camera = frontend.camera
         self.index = data.index
         self.timestamp = data.timestamp
-        self.dev = dev
+        self._dev = dev
         (self.xy, self.response, self.angle, self.octave, self.desc32,
          self.valid, self.u_right, self.depth, self.xy_un, disparity) = host
+        self.octave = np.ascontiguousarray(self.octave).astype(np.int32)
+        self.desc32 = np.ascontiguousarray(self.desc32)
+        self.xy = np.ascontiguousarray(self.xy)
+        self.xy_un = np.ascontiguousarray(self.xy_un)
         self.n_slots = self.xy.shape[0]
         self.mp_idx = np.full(self.n_slots, -1, np.int64)
         self.outlier = np.zeros(self.n_slots, bool)

@@ -90,25 +90,13 @@ def local_map_step(xw_c, desc_c, valid_c, normal_c, maxd_c, mind_c,
 
 
 class FullTrackResult(NamedTuple):
-    # frame measurement arrays (device)
-    xy: jnp.ndarray
-    xy_un: jnp.ndarray
-    response: jnp.ndarray
-    angle: jnp.ndarray
-    octave: jnp.ndarray
-    desc: jnp.ndarray
-    desc32: jnp.ndarray
-    valid: jnp.ndarray
-    u_right: jnp.ndarray
-    depth: jnp.ndarray
-    disparity: jnp.ndarray
-    # tracking results
-    R: jnp.ndarray
-    t: jnp.ndarray
-    motion_pof: jnp.ndarray      # [N] last-frame slot per feature (-1)
-    local_pof: jnp.ndarray       # [N] candidate index / -2 drop existing / -1
-    n_motion: jnp.ndarray        # matches in the motion stage
-    n_inliers: jnp.ndarray       # final inliers to real points
+    """Transfer-packed: 4-5 device->host leaves total (the tunnel pays a
+    fixed cost per leaf)."""
+    feat_f32: jnp.ndarray   # [N, 8]: xy(2) xy_un(2) response angle u_right depth
+    feat_i32: jnp.ndarray   # [N, 4]: octave valid motion_pof local_pof
+    desc32: jnp.ndarray     # [N, 8] uint32
+    scalars: jnp.ndarray    # [17]: R(9) t(3) n_motion n_inliers pad(3)
+    disparity: jnp.ndarray  # [H, W] or [1, 1]
 
 
 def make_full_track_step(frontend, config):
@@ -130,11 +118,30 @@ def make_full_track_step(frontend, config):
     log_scale = float(_np.log(orb.scale_factor))
     n_levels = orb.n_levels
 
-    def step(imL, imR, maskL, maskR,
-             R_prior, t_prior,
-             xw_p, desc_p, oct_p, ang_p, valid_p, real_p,
-             xw_c, desc_c, valid_c, normal_c, maxd_c, mind_c,
+    def step(imL_u8, imR_u8, maskL_u8, maskR_u8,
+             prior_pack,              # [12]: R(9) t(3)
+             last_f32,                # [Np, 8]: xw(3) ang oct valid real pad
+             desc_p,
+             cand_f32,                # [Pc, 9]: xw(3) normal(3) maxd mind valid
+             desc_c,
              forward, backward, with_disparity):
+        imL = imL_u8.astype(jnp.float32)
+        imR = imR_u8.astype(jnp.float32)
+        maskL = maskL_u8.astype(jnp.float32)
+        maskR = maskR_u8.astype(jnp.float32)
+        R_prior = prior_pack[:9].reshape(3, 3)
+        t_prior = prior_pack[9:12]
+        xw_p = last_f32[:, 0:3]
+        ang_p = last_f32[:, 3]
+        oct_p = last_f32[:, 4].astype(jnp.int32)
+        valid_p = last_f32[:, 5] > 0
+        real_p = last_f32[:, 6] > 0
+        xw_c = cand_f32[:, 0:3]
+        normal_c = cand_f32[:, 3:6]
+        maxd_c = cand_f32[:, 6]
+        mind_c = cand_f32[:, 7]
+        valid_c = cand_f32[:, 8] > 0
+
         fL, fR, sm, xy_un, disp = frontend._build_impl(
             imL, imR, maskL, maskR, with_disparity=with_disparity)
         isig = inv_sigma2[fL.octave]
@@ -164,12 +171,19 @@ def make_full_track_step(frontend, config):
             fx, fy, cx, cy, bf, width, height,
             scale_factors, log_scale, n_levels, 1.0)
 
-        return FullTrackResult(
-            xy=fL.xy, xy_un=xy_un, response=fL.response, angle=fL.angle,
-            octave=fL.octave, desc=fL.desc, desc32=fL.desc32, valid=fL.valid,
-            u_right=sm.u_right, depth=sm.depth, disparity=disp,
-            R=loc.R, t=loc.t, motion_pof=m.point_of_feat,
-            local_pof=loc.point_of_feat, n_motion=m.n_matches,
-            n_inliers=loc.n_real_inliers)
+        feat_f32 = jnp.concatenate([
+            fL.xy, xy_un, fL.response[:, None], fL.angle[:, None],
+            sm.u_right[:, None], sm.depth[:, None]], axis=1)
+        feat_i32 = jnp.stack([
+            fL.octave, fL.valid.astype(jnp.int32),
+            m.point_of_feat, loc.point_of_feat], axis=1)
+        scalars = jnp.concatenate([
+            loc.R.reshape(-1), loc.t,
+            m.n_matches.astype(jnp.float32)[None],
+            loc.n_real_inliers.astype(jnp.float32)[None],
+            jnp.zeros(3, jnp.float32)])
+        return FullTrackResult(feat_f32=feat_f32, feat_i32=feat_i32,
+                               desc32=fL.desc32, scalars=scalars,
+                               disparity=disp)
 
     return jax.jit(step, static_argnames=("with_disparity",))

@@ -73,6 +73,7 @@ class Tracking:
 
         self.keyframe_db = None          # set by System once the vocab exists
         self._full_step = None           # lazily-built fused tracking program
+        self._ones_mask_dev = jnp.ones((self.height, self.width), jnp.uint8)
         self.last_frame: Optional[Frame] = None
         self.current: Optional[Frame] = None
         self.velocity: Optional[tuple] = None       # (R, t) of Tcl (cur<-last)
@@ -255,39 +256,53 @@ class Tracking:
         backward = bool(-t_lc[2] > self.baseline)
 
         cfg = self.config
-        imL = jnp.asarray(data.image_left, jnp.float32)
-        imR = jnp.asarray(data.image_right, jnp.float32)
+        # uint8 uploads: the device casts; f32 images cost 100x on transfer
+        imL = jnp.asarray(np.asarray(data.image_left, np.uint8))
+        imR = jnp.asarray(np.asarray(data.image_right, np.uint8))
         use_mask = cfg.system.is_mask and data.seg_left is not None
         if use_mask:
-            maskL = jnp.asarray(data.seg_left == 0, jnp.float32)
-            maskR = jnp.asarray(data.seg_right == 0, jnp.float32)
+            maskL = jnp.asarray((data.seg_left == 0).astype(np.uint8))
+            maskR = jnp.asarray((data.seg_right == 0).astype(np.uint8))
         else:
-            maskL = jnp.ones_like(imL)
-            maskR = jnp.ones_like(imL)
+            maskL = self._ones_mask_dev
+            maskR = self._ones_mask_dev
         want_disp = bool(cfg.human.ok and data.humans_left is not None
                          and len(data.humans_left) > 0)
 
+        prior_pack = np.concatenate([Rp.reshape(-1), tp]).astype(np.float32)
+        Np = lf.n_slots
+        last_f32 = np.zeros((Np, 8), np.float32)
+        last_f32[:, 0:3] = xw_p
+        last_f32[:, 3] = lf.angle
+        last_f32[:, 4] = lf.octave
+        last_f32[:, 5] = valid_p
+        last_f32[:, 6] = real_p
+        Pc = xw_c.shape[0]
+        cand_f32 = np.zeros((Pc, 9), np.float32)
+        cand_f32[:, 0:3] = xw_c
+        cand_f32[:, 3:6] = normal_c
+        cand_f32[:, 6] = maxd_c
+        cand_f32[:, 7] = mind_c
+        cand_f32[:, 8] = valid_c
+
         res = self._full_step(imL, imR, maskL, maskR,
-                              jnp.asarray(Rp), jnp.asarray(tp),
-                              jnp.asarray(xw_p), jnp.asarray(desc_p),
-                              jnp.asarray(lf.octave), jnp.asarray(lf.angle),
-                              jnp.asarray(valid_p), jnp.asarray(real_p),
-                              jnp.asarray(xw_c), jnp.asarray(desc_c),
-                              jnp.asarray(valid_c), jnp.asarray(normal_c),
-                              jnp.asarray(maxd_c), jnp.asarray(mind_c),
+                              jnp.asarray(prior_pack),
+                              jnp.asarray(last_f32), jnp.asarray(desc_p),
+                              jnp.asarray(cand_f32), jnp.asarray(desc_c),
                               forward, backward, with_disparity=want_disp)
         host = jax.device_get(res)
-        frame = Frame.from_track_result(self.frontend, data, res, host)
-        frame.set_pose(host.R, host.t)
+        frame = Frame.from_track_result(self.frontend, data, host)
+        sc = host.scalars
+        frame.set_pose(sc[:9].reshape(3, 3), sc[9:12])
 
-        n_motion = int(host.n_motion)
-        n_inliers = int(host.n_inliers)
+        n_motion = int(sc[12])
+        n_inliers = int(sc[13])
         if n_motion < 20:
             return frame, False
 
         # associations: motion matches (last-frame slots -> pids/VO)
         mp_idx = frame.mp_idx
-        mpof = host.motion_pof
+        mpof = host.feat_i32[:, 2]
         for fid in np.nonzero(mpof >= 0)[0]:
             src = mpof[fid]
             pid = lf.mp_idx[src]
@@ -296,7 +311,7 @@ class Tracking:
             elif src in self._vo_points:
                 mp_idx[fid] = -2 - src
         # local candidate matches
-        lpof = host.local_pof
+        lpof = host.feat_i32[:, 3]
         new_rows = np.nonzero(lpof >= 0)[0]
         if len(new_rows) and len(ids):
             mp_idx[new_rows] = ids[lpof[new_rows]]
