@@ -22,6 +22,16 @@ from airdos_tpu.slam.map import KeyFrame, SlamMap
 from airdos_tpu.solvers.local_ba import local_bundle_adjust
 
 
+
+
+def _bucket(n: int, lo: int, hi: int) -> int:
+    """Smallest power-of-two >= n within [lo, hi] — bounds jit variants
+    while avoiding paying full max-size padding for small problems."""
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return min(b, hi)
+
 class StaticLocalBA:
     def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor):
         self.config = config
@@ -71,7 +81,11 @@ class StaticLocalBA:
         if n_cam < 2 or len(point_ids) < 10:
             return
 
-        C, P, E = self.C, self.P, self.E
+        C = self.C
+        P = _bucket(len(point_ids), 256, self.P)
+        point_ids = point_ids[:P]
+        n_edges_est = sum(len(pt.obs[p]) for p in point_ids)
+        E = _bucket(n_edges_est, 1024, self.E)
         cam_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
         cam_t = np.zeros((C, 3), np.float32)
         cam_fixed = np.ones(C, bool)
@@ -239,7 +253,7 @@ class Fuser:
         if not point_ids:
             return
         n = len(point_ids)
-        P = self.P
+        P = _bucket(n, 256, self.P)
         ids = np.asarray(point_ids)
         xw = np.zeros((P, 3), np.float32)
         desc = np.zeros((P, 8), np.uint32)
@@ -292,7 +306,7 @@ class Fuser:
         if not point_ids or not targets:
             return
         n = len(point_ids)
-        P = self.P
+        P = _bucket(n, 256, self.P)
         ids = np.asarray(point_ids)
         xw = np.zeros((P, 3), np.float32)
         desc = np.zeros((P, 8), np.uint32)

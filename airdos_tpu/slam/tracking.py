@@ -201,9 +201,12 @@ class Tracking:
                     continue
                 seen.add(p)
                 cand.append(p)
-        P = self.max_local_points
-        cand = cand[-P:] if len(cand) > P else cand
+        cand = cand[-self.max_local_points:] \
+            if len(cand) > self.max_local_points else cand
         n_c = len(cand)
+        P = 512
+        while P < n_c:
+            P *= 2
         ids = np.asarray(cand, np.int64) if n_c else np.zeros(0, np.int64)
         xw = np.zeros((P, 3), np.float32)
         desc = np.zeros((P, 8), np.uint32)
