@@ -24,13 +24,19 @@ from airdos_tpu.solvers.local_ba import local_bundle_adjust
 
 
 
-def _bucket(n: int, lo: int, hi: int) -> int:
-    """Smallest power-of-two >= n within [lo, hi] — bounds jit variants
-    while avoiding paying full max-size padding for small problems."""
-    b = lo
-    while b < n and b < hi:
-        b *= 2
-    return min(b, hi)
+class _StickyBucket:
+    """Grow-only power-of-two padding: each driver compiles at most a couple
+    of jit variants per run instead of one per problem size, and never
+    recompiles when problems shrink."""
+
+    def __init__(self, lo: int, hi: int):
+        self.cur = lo
+        self.hi = hi
+
+    def fit(self, n: int) -> int:
+        while self.cur < n and self.cur < self.hi:
+            self.cur *= 2
+        return min(self.cur, self.hi)
 
 class StaticLocalBA:
     def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor):
@@ -44,6 +50,8 @@ class StaticLocalBA:
         self.C = dev.max_local_kfs + dev.max_fixed_kfs
         self.P = dev.max_local_points
         self.E = dev.max_ba_edges
+        self._pb = _StickyBucket(512, self.P)
+        self._eb = _StickyBucket(2048, self.E)
         self._jit = jax.jit(local_bundle_adjust)
 
     def __call__(self, kf: KeyFrame):
@@ -82,10 +90,10 @@ class StaticLocalBA:
             return
 
         C = self.C
-        P = _bucket(len(point_ids), 256, self.P)
+        P = self._pb.fit(len(point_ids))
         point_ids = point_ids[:P]
         n_edges_est = sum(len(pt.obs[p]) for p in point_ids)
-        E = _bucket(n_edges_est, 1024, self.E)
+        E = self._eb.fit(n_edges_est)
         cam_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
         cam_t = np.zeros((C, 3), np.float32)
         cam_fixed = np.ones(C, bool)
@@ -244,6 +252,7 @@ class Fuser:
             jax.vmap(fuse_candidates,
                      in_axes=(None,) * 6 + (0,) * 8 + (None,) * 12))
         self.max_targets = 8
+        self._pb = _StickyBucket(512, self.P)
 
     def _fuse_into(self, point_ids: List[int], target: KeyFrame):
         m = self.map
@@ -253,7 +262,7 @@ class Fuser:
         if not point_ids:
             return
         n = len(point_ids)
-        P = _bucket(n, 256, self.P)
+        P = self._pb.fit(n)
         ids = np.asarray(point_ids)
         xw = np.zeros((P, 3), np.float32)
         desc = np.zeros((P, 8), np.uint32)
@@ -306,7 +315,7 @@ class Fuser:
         if not point_ids or not targets:
             return
         n = len(point_ids)
-        P = _bucket(n, 256, self.P)
+        P = self._pb.fit(n)
         ids = np.asarray(point_ids)
         xw = np.zeros((P, 3), np.float32)
         desc = np.zeros((P, 8), np.uint32)

@@ -204,9 +204,11 @@ class Tracking:
         cand = cand[-self.max_local_points:] \
             if len(cand) > self.max_local_points else cand
         n_c = len(cand)
-        P = 512
-        while P < n_c:
-            P *= 2
+        if not hasattr(self, "_cand_bucket"):
+            self._cand_bucket = 512
+        while self._cand_bucket < n_c:
+            self._cand_bucket *= 2
+        P = self._cand_bucket
         ids = np.asarray(cand, np.int64) if n_c else np.zeros(0, np.int64)
         xw = np.zeros((P, 3), np.float32)
         desc = np.zeros((P, 8), np.uint32)
