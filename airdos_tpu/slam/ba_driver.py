@@ -50,8 +50,8 @@ class StaticLocalBA:
         self.C = dev.max_local_kfs + dev.max_fixed_kfs
         self.P = dev.max_local_points
         self.E = dev.max_ba_edges
-        self._pb = _StickyBucket(512, self.P)
-        self._eb = _StickyBucket(2048, self.E)
+        self._pb = _StickyBucket(1024, self.P)
+        self._eb = _StickyBucket(4096, self.E)
         self._jit = jax.jit(local_bundle_adjust)
 
     def __call__(self, kf: KeyFrame):
@@ -252,7 +252,7 @@ class Fuser:
             jax.vmap(fuse_candidates,
                      in_axes=(None,) * 6 + (0,) * 8 + (None,) * 12))
         self.max_targets = 8
-        self._pb = _StickyBucket(512, self.P)
+        self._pb = _StickyBucket(1024, self.P)
 
     def _fuse_into(self, point_ids: List[int], target: KeyFrame):
         m = self.map

@@ -46,6 +46,19 @@ class System:
             if config.human.ok else None
         self._frame_count = 0
         self._last_human_ba_frame = 0
+        # online mode: mapping runs concurrently with tracking, like the
+        # reference's LocalMapping thread (offline mode stays synchronous
+        # and deterministic, the paper configuration)
+        import threading
+        self._map_lock = self.tracking.map_lock
+        self._map_queue = None
+        self._map_thread = None
+        if not config.system.is_offline:
+            import queue
+            self._map_queue = queue.Queue()
+            self._map_thread = threading.Thread(
+                target=self._mapping_worker, daemon=True)
+            self._map_thread.start()
         # place recognition: load a vocabulary now, or train a scene
         # vocabulary lazily from the first keyframe's descriptors
         self.vocabulary = None
@@ -101,14 +114,12 @@ class System:
         self.vocabulary = train_vocabulary(train, k=8, depth=3)
         self._init_place_recognition()
 
-    def _track(self, data: FrameData):
-        t0 = time.perf_counter()
-        frame = self.tracking.track(data)
-        prev_kf = self.map.kfs.get(self.tracking.last_kf_id)
-
-        if (self.tracking.state == TrackState.OK and prev_kf is not None
-                and prev_kf.frame_id == frame.index):
-            # a KF was just created: run the inline local-mapping steps
+    def _mapping_pipeline(self, prev_kf):
+        """The per-keyframe local-mapping steps (reference: LocalMapping::Run
+        body).  Runs inline in offline mode, or in the mapping worker thread
+        in online mode (System.IsOffline=0), mirroring the reference's
+        Tracking || LocalMapping threading (System.cc:87-96)."""
+        with self._map_lock:
             lm = self.local_mapper
             lm.cull_map_points(prev_kf.id)
             lm.create_new_points(prev_kf)
@@ -129,6 +140,29 @@ class System:
                     self.loop_closer.process(prev_kf)
                 else:
                     self.keyframe_db.add(prev_kf)
+
+    def _mapping_worker(self):
+        while True:
+            kf = self._map_queue.get()
+            if kf is None:
+                return
+            try:
+                self._mapping_pipeline(kf)
+            except Exception:
+                import traceback
+                traceback.print_exc()
+
+    def _track(self, data: FrameData):
+        t0 = time.perf_counter()
+        frame = self.tracking.track(data)
+        prev_kf = self.map.kfs.get(self.tracking.last_kf_id)
+
+        if (self.tracking.state == TrackState.OK and prev_kf is not None
+                and prev_kf.frame_id == frame.index):
+            if self._map_queue is not None:
+                self._map_queue.put(prev_kf)
+            else:
+                self._mapping_pipeline(prev_kf)
 
         # human-trajectory local BA every max_frames frames (OffLineTrack,
         # Tracking.cc:705-717)
@@ -212,6 +246,9 @@ class System:
                 f.write(f"{tid} {row}\n")
 
     def shutdown(self):
+        if self._map_queue is not None:
+            self._map_queue.put(None)
+            self._map_thread.join(timeout=30)
         if self.viewer is not None:
             self.viewer.close()
 

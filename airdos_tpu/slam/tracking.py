@@ -71,6 +71,8 @@ class Tracking:
         self.log_scale = float(np.log(orb.scale_factor))
         self.n_levels = orb.n_levels
 
+        import threading
+        self.map_lock = threading.Lock()  # tracking <-> mapping-thread guard
         self.keyframe_db = None          # set by System once the vocab exists
         self._full_step = None           # lazily-built fused tracking program
         self._ones_mask_dev = jnp.ones((self.height, self.width), jnp.uint8)
@@ -131,10 +133,11 @@ class Tracking:
                 self.state = TrackState.OK
                 self._update_velocity(frame)
                 self._clean_vo_matches(frame)
-                if self._need_new_keyframe(frame):
-                    self._create_new_keyframe(frame)
-                elif self.config.human.ok and frame.humans:
-                    self._grab_human_poses(frame, kf=None)
+                with self.map_lock:
+                    if self._need_new_keyframe(frame):
+                        self._create_new_keyframe(frame)
+                    elif self.config.human.ok and frame.humans:
+                        self._grab_human_poses(frame, kf=None)
                 # mark outliers as free slots (reference: Track() end)
                 frame.mp_idx[frame.outlier] = -1
             else:
@@ -204,11 +207,7 @@ class Tracking:
         cand = cand[-self.max_local_points:] \
             if len(cand) > self.max_local_points else cand
         n_c = len(cand)
-        if not hasattr(self, "_cand_bucket"):
-            self._cand_bucket = 512
-        while self._cand_bucket < n_c:
-            self._cand_bucket *= 2
-        P = self._cand_bucket
+        P = self.max_local_points   # fixed: exactly one jit variant
         ids = np.asarray(cand, np.int64) if n_c else np.zeros(0, np.int64)
         xw = np.zeros((P, 3), np.float32)
         desc = np.zeros((P, 8), np.uint32)
@@ -234,23 +233,24 @@ class Tracking:
             from airdos_tpu.slam.fused import make_full_track_step
             self._full_step = make_full_track_step(self.frontend, self.config)
 
-        self._update_last_frame_vo_points()
-        xw_p, valid_p = self._gather_last_frame_points(lf)
-        if valid_p.sum() < 10:
-            return None, None
-        pt = self.map.points
-        desc_p = np.zeros((lf.n_slots, 8), np.uint32)
-        real_p = np.zeros(lf.n_slots, bool)
-        has_mp = lf.mp_idx >= 0
-        mp_rows = np.nonzero(has_mp & valid_p)[0]
-        desc_p[mp_rows] = pt.desc32[lf.mp_idx[mp_rows]]
-        real_p[mp_rows] = True
-        vo_rows = [i for i in self._vo_points if not has_mp[i]]
-        if vo_rows:
-            desc_p[vo_rows] = lf.desc32[vo_rows]
+        with self.map_lock:
+            self._update_last_frame_vo_points()
+            xw_p, valid_p = self._gather_last_frame_points(lf)
+            if valid_p.sum() < 10:
+                return None, None
+            pt = self.map.points
+            desc_p = np.zeros((lf.n_slots, 8), np.uint32)
+            real_p = np.zeros(lf.n_slots, bool)
+            has_mp = lf.mp_idx >= 0
+            mp_rows = np.nonzero(has_mp & valid_p)[0]
+            desc_p[mp_rows] = pt.desc32[lf.mp_idx[mp_rows]]
+            real_p[mp_rows] = True
+            vo_rows = [i for i in self._vo_points if not has_mp[i]]
+            if vo_rows:
+                desc_p[vo_rows] = lf.desc32[vo_rows]
 
-        ids, xw_c, desc_c, valid_c, normal_c, maxd_c, mind_c = \
-            self._candidate_arrays(lf)
+            ids, xw_c, desc_c, valid_c, normal_c, maxd_c, mind_c = \
+                self._candidate_arrays(lf)
 
         Rv, tv = self.velocity
         Rp = (Rv @ lf.Rcw).astype(np.float32)
@@ -305,6 +305,7 @@ class Tracking:
         if n_motion < 20:
             return frame, False
 
+        self.map_lock.acquire()
         # associations: motion matches (last-frame slots -> pids/VO)
         mp_idx = frame.mp_idx
         mpof = host.feat_i32[:, 2]
@@ -333,6 +334,7 @@ class Tracking:
         self.n_inliers = n_inliers
         self._local_keyframes(frame)     # sets frame.ref_kf_id
         ok = n_inliers >= 30 or (self.map.n_keyframes() <= 2 and n_inliers >= 15)
+        self.map_lock.release()
         return frame, ok
 
     # ==================================================== frame-to-frame
