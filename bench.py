@@ -25,7 +25,9 @@ def main():
     cfg.orb.n_features = 1000
     cfg.orb.n_levels = 8
     cfg.human.ok = False
-    cfg.system.is_offline = False     # online: mapping thread overlaps tracking
+    # offline (synchronous, deterministic) — the paper configuration; the
+    # online mapping thread crashes the tunneled-TPU client (not thread-safe)
+    cfg.system.is_offline = True
     cfg.device.max_keypoints = 2048
     cfg.device.max_local_kfs = 8
     cfg.device.max_fixed_kfs = 4
