@@ -110,6 +110,10 @@ class SyntheticStereoWorld:
         for k in range(60):
             z0 = self.rng.uniform(2.5, 28.0)
             x0 = self.rng.uniform(-0.45, 0.45) * (2.0 + z0 * 0.8)
+            # keep near-range billboards clear of the camera corridor so the
+            # view never degenerates to one giant close plane
+            if z0 < 9.0 and abs(x0) < 1.2:
+                x0 = np.sign(x0 or 1.0) * (1.2 + abs(x0))
             y0 = self.rng.uniform(-0.6, 1.0)
             bw = self.rng.uniform(0.5, 1.6)
             bh = self.rng.uniform(0.5, 1.6)
