@@ -640,3 +640,97 @@ class HumanLocalBA:
                         if motion_edge_valid[t, li, si] and not mot_in[t, li, si]:
                             hp.lost[kjoint] = True
                             traj.bad_count += 1
+
+
+class GlobalBA:
+    """Full-map bundle adjustment (reference: Optimizer::GlobalBundleAdjustemnt
+    + LoopClosing::RunGlobalBundleAdjustment, Optimizer.cc:52-230,
+    LoopClosing.cc:645-749): every keyframe (KF0 fixed) and every live map
+    point, 10+10 iterations.  Reuses the Schur local-BA device program with
+    the whole map as the 'local' window."""
+
+    def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor,
+                 max_kfs: int = 64, max_points: int = 8192,
+                 max_edges: int = 32768):
+        self.config = config
+        self.map = slam_map
+        cam = config.camera
+        self.fx, self.fy, self.cx, self.cy, self.bf = \
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+        self.inv_sigma2 = (1.0 / extractor.sigma2).astype(np.float32)
+        self.max_kfs = max_kfs
+        self.max_points = max_points
+        self.max_edges = max_edges
+        self._cb = _StickyBucket(16, max_kfs)
+        self._pb = _StickyBucket(1024, max_points)
+        self._eb = _StickyBucket(4096, max_edges)
+        self._jit = jax.jit(local_bundle_adjust,
+                            static_argnames=("iters1", "iters2"))
+
+    def __call__(self, n_iters: int = 20):
+        m = self.map
+        pt = m.points
+        kfs = sorted((k for k in m.kfs.values() if not k.bad),
+                     key=lambda k: k.id)[: self.max_kfs]
+        if len(kfs) < 2:
+            return
+        cam_index = {k.id: i for i, k in enumerate(kfs)}
+        point_ids = [int(p) for p in pt.live_ids()][: self.max_points]
+        if len(point_ids) < 10:
+            return
+        C = self._cb.fit(len(kfs))
+        P = self._pb.fit(len(point_ids))
+        n_edges = sum(len(pt.obs[p]) for p in point_ids)
+        E = self._eb.fit(n_edges)
+
+        cam_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+        cam_t = np.zeros((C, 3), np.float32)
+        cam_fixed = np.ones(C, bool)
+        for k in kfs:
+            i = cam_index[k.id]
+            cam_R[i] = k.Rcw
+            cam_t[i] = k.tcw
+            cam_fixed[i] = (k.id == 0)
+        pts = np.zeros((P, 3), np.float32)
+        pvalid = np.zeros(P, bool)
+        pts[:len(point_ids)] = pt.pos[point_ids]
+        pvalid[:len(point_ids)] = True
+        p_index = {p: i for i, p in enumerate(point_ids)}
+
+        e_cam = np.zeros(E, np.int32)
+        e_pt = np.zeros(E, np.int32)
+        e_obs = np.full((E, 3), -1.0, np.float32)
+        e_info = np.ones(E, np.float32)
+        e_valid = np.zeros(E, bool)
+        n_e = 0
+        for p in point_ids:
+            for kid, fid in pt.obs[p].items():
+                ci = cam_index.get(kid)
+                if ci is None or n_e >= E:
+                    continue
+                k = m.kfs[kid]
+                e_cam[n_e] = ci
+                e_pt[n_e] = p_index[p]
+                e_obs[n_e] = [k.xy_un[fid, 0], k.xy_un[fid, 1], k.u_right[fid]]
+                e_info[n_e] = self.inv_sigma2[k.octave[fid]]
+                e_valid[n_e] = True
+                n_e += 1
+
+        res = self._jit(jnp.asarray(cam_R), jnp.asarray(cam_t),
+                        jnp.asarray(cam_fixed),
+                        jnp.asarray(pts), jnp.asarray(pvalid),
+                        jnp.asarray(e_cam), jnp.asarray(e_pt),
+                        jnp.asarray(e_obs), jnp.asarray(e_info),
+                        jnp.asarray(e_valid),
+                        self.fx, self.fy, self.cx, self.cy, self.bf,
+                        iters1=n_iters // 2, iters2=n_iters)
+        R_out = np.asarray(res.R)
+        t_out = np.asarray(res.t)
+        pts_out = np.asarray(res.points)
+        for k in kfs:
+            i = cam_index[k.id]
+            if not cam_fixed[i]:
+                k.set_pose(R_out[i], t_out[i])
+        pt.pos[point_ids] = pts_out[:len(point_ids)]
+        for p in point_ids:
+            m.update_point_normal_depth(p)

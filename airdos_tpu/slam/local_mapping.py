@@ -30,6 +30,7 @@ class LocalMapper:
         self.recent_points: List[int] = []
         self.triangulator = None     # set by System once kernels exist
         self.fuser = None
+        self.keyframe_db = None      # set by System with place recognition
 
     # ------------------------------------------------------------------
     def process_new_keyframe(self, kf: KeyFrame):
@@ -142,3 +143,5 @@ class LocalMapper:
         kf.covis = {}
         kf.ordered_covis = []
         kf.bad = True
+        if self.keyframe_db is not None:
+            self.keyframe_db.erase(kf)

@@ -378,3 +378,82 @@ class SlamMap:
     def long_trajectories(self) -> List[HumanTrajectory]:
         return [t for t in self.trajectories.values()
                 if len(t) >= TH_LONG_TRAJECTORY]
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (the reference declares Save/LoadMap as TODO,
+# System.h:125-127; array-based state makes it straightforward here).
+
+def save_map(m: "SlamMap", path) -> None:
+    """Serialize the full map (keyframes, points, humans) to one .npz."""
+    import io
+    import pickle
+    pt = m.points
+    n = pt.n
+    kf_blobs = []
+    for kf in m.kfs.values():
+        kf_blobs.append(dict(
+            id=kf.id, frame_id=kf.frame_id, timestamp=kf.timestamp,
+            Rcw=kf.Rcw, tcw=kf.tcw, xy=kf.xy, xy_un=kf.xy_un,
+            octave=kf.octave, angle=kf.angle, response=kf.response,
+            desc32=kf.desc32, u_right=kf.u_right, depth=kf.depth,
+            valid=kf.valid, mp_idx=kf.mp_idx, covis=kf.covis,
+            ordered_covis=kf.ordered_covis, parent=kf.parent,
+            children=list(kf.children), loop_edges=list(kf.loop_edges),
+            bad=kf.bad, Tcp=kf.Tcp, human_pose_ids=kf.human_pose_ids))
+    traj_blobs = []
+    for tid, tr in m.trajectories.items():
+        traj_blobs.append(dict(
+            track_id=tid, segment_len=tr.segment_len,
+            segment_bad=tr.segment_bad, segment_optimized=tr.segment_optimized,
+            motion_R=tr.motion_R, motion_t=tr.motion_t,
+            optimized=tr.optimized, bad_count=tr.bad_count,
+            poses=[dict(track_id=hp.track_id, timestamp=hp.timestamp,
+                        kf_id=hp.kf_id, joints_w=hp.joints_w, bad=hp.bad,
+                        lost=hp.lost, optimized=hp.optimized,
+                        obs_uvd=hp.obs_uvd, confidence=hp.confidence,
+                        in_keyframe=hp.in_keyframe) for hp in tr.poses]))
+    blob = pickle.dumps(dict(kfs=kf_blobs, trajs=traj_blobs,
+                             obs=pt.obs[:n], next_kf_id=m.next_kf_id))
+    np.savez_compressed(
+        path, pos=pt.pos[:n], desc32=pt.desc32[:n], normal=pt.normal[:n],
+        min_dist=pt.min_dist[:n], max_dist=pt.max_dist[:n],
+        n_obs=pt.n_obs[:n], visible=pt.visible[:n], found=pt.found[:n],
+        bad=pt.bad[:n], ref_kf=pt.ref_kf[:n], first_kf=pt.first_kf[:n],
+        blob=np.frombuffer(blob, np.uint8))
+
+
+def load_map(path) -> "SlamMap":
+    import pickle
+    z = np.load(path, allow_pickle=False)
+    blob = pickle.loads(z["blob"].tobytes())
+    m = SlamMap()
+    n = len(z["pos"])
+    pt = m.points
+    pt.alloc(n)
+    for name in ("pos", "desc32", "normal", "min_dist", "max_dist", "n_obs",
+                 "visible", "found", "bad", "ref_kf", "first_kf"):
+        getattr(pt, name)[:n] = z[name]
+    pt.obs[:n] = blob["obs"]
+    m.next_kf_id = blob["next_kf_id"]
+    for kb in blob["kfs"]:
+        kf = KeyFrame.__new__(KeyFrame)
+        for k, v in kb.items():
+            setattr(kf, k, v)
+        kf.children = set(kb["children"])
+        kf.loop_edges = set(kb["loop_edges"])
+        kf.n_slots = kf.xy.shape[0]
+        kf.not_erase = False
+        kf.to_be_erased = False
+        kf.bow = None
+        kf.feat_vec = None
+        m.add_keyframe(kf)
+    for tb in blob["trajs"]:
+        tr = HumanTrajectory(tb["track_id"])
+        for k in ("segment_len", "segment_bad", "segment_optimized",
+                  "motion_R", "motion_t", "optimized", "bad_count"):
+            setattr(tr, k, tb[k])
+        for pb in tb["poses"]:
+            tr.poses.append(HumanPose(**pb))
+        m.trajectories[tb["track_id"]] = tr
+    return m

@@ -35,10 +35,11 @@ class System:
         self.local_mapper = LocalMapper(config, self.map)
         self.tracking = Tracking(config, self.frontend, self.map,
                                  self.local_mapper)
-        from airdos_tpu.slam.ba_driver import (Fuser, HumanLocalBA,
+        from airdos_tpu.slam.ba_driver import (Fuser, GlobalBA, HumanLocalBA,
                                                StaticLocalBA, Triangulator)
         ext = self.frontend.extractor
         self.static_ba = StaticLocalBA(config, self.map, ext)
+        self.global_ba = GlobalBA(config, self.map, ext)
         self.local_mapper.triangulator = Triangulator(config, self.map, ext,
                                                       self.local_mapper)
         self.local_mapper.fuser = Fuser(config, self.map, ext)
@@ -90,9 +91,11 @@ class System:
         from airdos_tpu.slam.loop_closing import LoopCloser
         self.keyframe_db = KeyFrameDatabase(self.vocabulary, self.map)
         self.tracking.keyframe_db = self.keyframe_db
+        self.local_mapper.keyframe_db = self.keyframe_db
         self.loop_closer = LoopCloser(self.config, self.map, self.keyframe_db,
                                       self.frontend.extractor,
-                                      fuser=self.local_mapper.fuser)
+                                      fuser=self.local_mapper.fuser,
+                                      global_ba=self.global_ba)
         for kf in self.map.kfs.values():
             if not kf.bad:
                 self.keyframe_db.add(kf)
@@ -244,6 +247,22 @@ class System:
                 row = " ".join(f"{v:.7f}" for v in
                                np.hstack([R, t[:, None]]).reshape(-1))
                 f.write(f"{tid} {row}\n")
+
+    def save_map(self, path: str):
+        """Checkpoint the full map (the reference declares this TODO)."""
+        from airdos_tpu.slam.map import save_map
+        with self._map_lock:
+            save_map(self.map, path)
+
+    def load_map(self, path: str):
+        """Resume from a checkpoint; tracking relocalizes against it."""
+        from airdos_tpu.slam.map import load_map
+        with self._map_lock:
+            m = load_map(path)
+            self.map.__dict__.update(m.__dict__)
+            self.tracking.state = \
+                __import__("airdos_tpu.slam.tracking", fromlist=["TrackState"]).TrackState.LOST
+            self.tracking.last_kf_id = max(self.map.kfs) if self.map.kfs else -1
 
     def shutdown(self):
         if self._map_queue is not None:
