@@ -69,9 +69,19 @@ class OptimizerConfig:
     th_ransac_motion: float = 4.0
     th_ransac_rigidity: float = 1.0
     is_huber: bool = True
+    # IsKeyFrameOnly: when False (the reference YAMLs' implicit default),
+    # human poses are grabbed on EVERY tracked frame, not only keyframes
+    # (Tracking.cc:493).
     is_keyframe_only: bool = False
+    # IsAllKF is parsed by the reference (Tracking.cc:147) but never read
+    # afterwards — kept for config compatibility only.
     is_all_kf: bool = False
     is_static_only: bool = False
+    # Whole-trajectory inclusion: the human BA windows over ALL poses of
+    # each observed trajectory instead of only poses anchored to window
+    # keyframes — the reference's LocalBundleAdjustmentHumanTrajactoryFast
+    # graph (Optimizer.cc:736-1493; never called there, selectable here).
+    use_fast_human_ba: bool = False
 
 
 @dataclasses.dataclass
@@ -120,7 +130,15 @@ class SlamConfig:
     th_depth: float = 35.0            # close/far point threshold, × baseline
     meta_data_path: str = ""
     vocabulary_path: str = ""         # .npz (ours) or ORBvoc .txt (DBoW2)
-    enable_loop_closing: bool = False  # reference: online mode only
+    # None = reference behavior: the LoopClosing thread runs in online mode
+    # and is not started in offline/paper mode (System.cc:166-181)
+    enable_loop_closing: Optional[bool] = None
+
+    @property
+    def loop_closing_active(self) -> bool:
+        if self.enable_loop_closing is None:
+            return not self.system.is_offline
+        return bool(self.enable_loop_closing)
 
     @property
     def th_depth_m(self) -> float:

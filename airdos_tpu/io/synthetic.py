@@ -142,6 +142,22 @@ class SyntheticStereoWorld:
             yaw += yaw_rate
         return np.asarray(Rwc), np.asarray(twc)
 
+    def loop_trajectory(self, n_frames: int, radius: float = 4.0,
+                        laps: float = 1.05):
+        """Closed circular trajectory in the xz-plane, heading tangent: the
+        camera returns to (and slightly past) its start pose — the loop-
+        closure test case.  Returns (Rwc, twc)."""
+        Rwc, twc = [], []
+        for i in range(n_frames):
+            th = 2 * np.pi * laps * i / n_frames
+            pos = np.array([radius * (1 - np.cos(th)), 0.0,
+                            radius * np.sin(th)])
+            c, s = np.cos(th), np.sin(th)
+            R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            Rwc.append(R)
+            twc.append(pos)
+        return np.asarray(Rwc), np.asarray(twc)
+
     # ---------------------------------------------------------------- render
     def _project(self, Rcw, tcw, pts):
         xc = (Rcw @ pts.T).T + tcw
@@ -190,10 +206,11 @@ class SyntheticStereoWorld:
                       (n01 * (1 - fx_) + n11 * fx_) * fz_)
         return out
 
-    def _render_view(self, Rcw, tcw, ss: int = 2):
+    def _render_view(self, Rcw, tcw, ss: int = 2, return_depth: bool = False):
         """Render with ss x supersampling + box downsample (anti-aliasing:
         aliased edges decorrelate the stereo views at sub-pixel disparities
-        and poison descriptor matching)."""
+        and poison descriptor matching).  return_depth also returns the
+        camera-frame z-buffer (ground-truth depth map)."""
         import cv2
         h, w = self.cam.height * ss, self.cam.width * ss
         fx, fy = self.cam.fx * ss, self.cam.fy * ss
@@ -257,9 +274,22 @@ class SyntheticStereoWorld:
                        float(self.intensity[i]), -1)
             cv2.circle(img, (int(round(us[i])), int(round(vs[i]))),
                        max(1, r // 2), float(self.sat_intensity[i]), -1)
+            if return_depth:
+                cv2.circle(zbuf, (int(round(u[i])), int(round(v[i]))), r,
+                           float(z[i]), -1)
+                cv2.circle(zbuf, (int(round(us[i])), int(round(vs[i]))),
+                           max(1, r // 2), float(zs[i]), -1)
         out = img.astype(np.float32)
         if ss > 1:
             out = out.reshape(self.cam.height, ss, self.cam.width, ss).mean(axis=(1, 3))
+        if return_depth:
+            zb = np.where(np.isfinite(zbuf), zbuf, 0.0).astype(np.float32)
+            if ss > 1:
+                # min-pool: a pixel's depth is its nearest surface
+                zb = zb.reshape(self.cam.height, ss, self.cam.width, ss)
+                zb = np.where(zb <= 0, np.inf, zb).min(axis=(1, 3))
+                zb = np.where(np.isfinite(zb), zb, 0.0).astype(np.float32)
+            return out, zb
         return out
 
     def camera_pose_cw(self, Rwc, twc):
@@ -269,11 +299,18 @@ class SyntheticStereoWorld:
 
     def frame(self, i: int, Rwc: np.ndarray, twc: np.ndarray,
               timestamp: float, noise_px: float = 0.3,
-              with_humans: bool = True) -> FrameData:
-        """Render a stereo FrameData at the given camera-to-world pose."""
+              with_humans: bool = True,
+              with_depth: bool = False) -> FrameData:
+        """Render a stereo FrameData at the given camera-to-world pose.
+        with_depth also fills FrameData.depth with the left camera's
+        ground-truth z-buffer (for the RGB-D / IsGroundTruthDepth path)."""
         Rcw, tcw = self.camera_pose_cw(Rwc, twc)
         b = self.cam.baseline
-        imL = self._render_view(Rcw, tcw)
+        depthL = None
+        if with_depth:
+            imL, depthL = self._render_view(Rcw, tcw, return_depth=True)
+        else:
+            imL = self._render_view(Rcw, tcw)
         # right camera: offset +b along camera x  => tcw_r = tcw - [b,0,0]
         tcw_r = tcw - np.array([b, 0, 0])
         imR = self._render_view(Rcw, tcw_r)
@@ -319,6 +356,7 @@ class SyntheticStereoWorld:
         return FrameData(timestamp=timestamp, index=i,
                          image_left=imL, image_right=imR,
                          seg_left=seg_l, seg_right=seg_r,
+                         depth=depthL,
                          humans_left=humans_l, humans_right=humans_r,
                          track_ids=tids)
 

@@ -74,7 +74,13 @@ def stereo_match(xy_l: jnp.ndarray, oct_l: jnp.ndarray, desc_l: jnp.ndarray,
     D = jnp.where(ok, D, 1 << 10)
     best_r = jnp.argmin(D, axis=1)                           # [N]
     best_dist = jnp.take_along_axis(D, best_r[:, None], axis=1)[:, 0]
-    cand_ok = best_dist < TH_ORB
+    # mutual consistency: the matched right keypoint's own best left
+    # keypoint must be this one.  (Not in the reference — its per-row
+    # candidate lists rarely alias; our dense form affords the check for
+    # one extra argmin, and it kills most repeated-texture mismatches.)
+    best_l_of_r = jnp.argmin(D, axis=0)                      # [M]
+    mutual = best_l_of_r[best_r] == jnp.arange(xy_l.shape[0])
+    cand_ok = (best_dist < TH_ORB) & mutual
 
     # ---- sub-pixel SAD ----------------------------------------------
     inv_scale = 1.0 / scale_factors[oct_l]                   # [N]

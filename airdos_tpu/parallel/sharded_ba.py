@@ -24,6 +24,10 @@ from airdos_tpu.geometry.se3 import se3_compose, se3_exp, so3_hat
 def make_mesh(n_devices: int | None = None, axis: str = "edges") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are visible: {devs}")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
 
@@ -75,64 +79,45 @@ def sharded_pose_optimize_step(mesh: Mesh, axis: str = "edges"):
     return jax.jit(step, static_argnames=())
 
 
-def sharded_local_ba_step(mesh: Mesh, n_cams: int, axis: str = "edges"):
-    """One damped GN step of multi-camera BA with landmarks eliminated
-    locally per shard is not possible (points span shards), so this step
-    shards the *edge Hessian assembly* of the reduced camera system:
-    each device computes partial Hcc/bc for its edges with landmarks held
-    fixed; psum yields the full system; cameras update replicated.
-    (Landmark refinement alternates on-device; see solvers.local_ba for the
-    single-chip full Schur path.)"""
+def sharded_local_bundle_adjust(mesh: Mesh, axis: str = "edges",
+                                iters1: int = 8, iters2: int = 17):
+    """The FULL local-BA LM protocol (solvers.local_ba.local_bundle_adjust:
+    two phases, Huber, mid-run chi2 outlier demotion, Schur complement with
+    landmark back-substitution) with the edge table sharded over the mesh.
 
-    def step(cam_R, cam_t, cam_fixed, points, e_cam, e_pt, e_obs, e_w,
-             fx, fy, cx, cy, bf):
-        C = n_cams
+    Each device evaluates residuals/Jacobians and partial normal-equation
+    blocks for its edge shard; Hcc/Hpp/bc/bp/Wagg and the LM costs are
+    psum-reduced over ICI; the small reduced camera solve and the landmark
+    back-substitution run replicated.  Per-iteration communication is
+    O(P*C) block aggregates — a few MB riding ICI, independent of edge
+    count.  Edge arrays must be padded to a multiple of the mesh size
+    (invalid rows flagged via e_valid=False).
 
-        def shard_fn(cam_R, cam_t, cam_fixed, points, e_cam_s, e_pt_s,
-                     e_obs_s, e_w_s):
-            Rc = cam_R[e_cam_s]
-            tc = cam_t[e_cam_s]
-            xw = points[e_pt_s]
-            xc = jnp.einsum("eij,ej->ei", Rc, xw) + tc
-            x, y, z = xc[:, 0], xc[:, 1], xc[:, 2]
-            zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
-            iz = 1.0 / zs
-            iz2 = iz * iz
-            pred = jnp.stack([fx * x * iz + cx, fy * y * iz + cy,
-                              fx * x * iz + cx - bf * iz], axis=-1)
-            e = e_obs_s - pred
-            zero = jnp.zeros_like(x)
-            Jp = jnp.stack([
-                jnp.stack([fx * iz, zero, -fx * x * iz2], axis=-1),
-                jnp.stack([zero, fy * iz, -fy * y * iz2], axis=-1),
-                jnp.stack([fx * iz, zero, (-fx * x + bf) * iz2], axis=-1),
-            ], axis=-2)
-            Jxc = jnp.concatenate([
-                jnp.broadcast_to(jnp.eye(3, dtype=cam_R.dtype),
-                                 (xw.shape[0], 3, 3)),
-                -so3_hat(xc)], axis=-1)
-            Jc = -jnp.einsum("eij,ejk->eik", Jp, Jxc)
-            Hcc = jnp.zeros((C, 6, 6), cam_R.dtype).at[e_cam_s].add(
-                jnp.einsum("eik,e,eil->ekl", Jc, e_w_s, Jc))
-            bc = jnp.zeros((C, 6), cam_R.dtype).at[e_cam_s].add(
-                -jnp.einsum("eik,e,ei->ek", Jc, e_w_s, e))
-            Hcc = jax.lax.psum(Hcc, axis)
-            bc = jax.lax.psum(bc, axis)
-            # freeze fixed cameras, solve block-diagonal (motion-only per
-            # camera — the full coupled solve lives in solvers.local_ba)
-            free = (~cam_fixed).astype(cam_R.dtype)
-            Hcc = Hcc * free[:, None, None] + \
-                jnp.eye(6, dtype=cam_R.dtype)[None] * (1.0 - free)[:, None, None]
-            bc = bc * free[:, None]
-            dx = jnp.linalg.solve(
-                Hcc + 1e-5 * jnp.eye(6, dtype=cam_R.dtype)[None], bc[..., None])[..., 0]
-            dR, dt = se3_exp(dx)
-            return se3_compose(dR, dt, cam_R, cam_t)
+    Returns a jitted fn with the same signature/result as
+    local_bundle_adjust (edge_inlier comes back gathered to full length)."""
+    from airdos_tpu.solvers.local_ba import local_bundle_adjust
+
+    def run(cam_R, cam_t, cam_fixed, points, point_valid,
+            e_cam, e_pt, e_obs, e_info, e_valid, fx, fy, cx, cy, bf):
+        def shard_fn(cam_R, cam_t, cam_fixed, points, point_valid,
+                     e_cam_s, e_pt_s, e_obs_s, e_info_s, e_valid_s):
+            return local_bundle_adjust(
+                cam_R, cam_t, cam_fixed, points, point_valid,
+                e_cam_s, e_pt_s, e_obs_s, e_info_s, e_valid_s,
+                fx, fy, cx, cy, bf,
+                iters1=iters1, iters2=iters2, axis_name=axis)
 
         return jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(), P()))(cam_R, cam_t, cam_fixed, points,
-                                  e_cam, e_pt, e_obs, e_w)
+            in_specs=(P(), P(), P(), P(), P(),
+                      P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=_ba_out_specs(axis),
+        )(cam_R, cam_t, cam_fixed, points, point_valid,
+          e_cam, e_pt, e_obs, e_info, e_valid)
 
-    return jax.jit(step)
+    return jax.jit(run)
+
+
+def _ba_out_specs(axis):
+    from airdos_tpu.solvers.local_ba import LocalBAResult
+    return LocalBAResult(R=P(), t=P(), points=P(), edge_inlier=P(axis))

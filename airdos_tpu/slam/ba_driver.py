@@ -254,7 +254,11 @@ class Fuser:
         self.max_targets = 8
         self._pb = _StickyBucket(1024, self.P)
 
-    def _fuse_into(self, point_ids: List[int], target: KeyFrame):
+    def _fuse_into(self, point_ids: List[int], target: KeyFrame,
+                   prefer_candidates: bool = False):
+        """prefer_candidates: conflict resolution keeps the candidate point
+        (SearchAndFuse semantics, reference LoopClosing.cc:587) instead of
+        the more-observed one."""
         m = self.map
         pt = m.points
         point_ids = [p for p in point_ids if not pt.bad[p]
@@ -297,11 +301,14 @@ class Fuser:
                 continue
             existing = int(target.mp_idx[fid])
             if existing >= 0 and not pt.bad[existing]:
-                # merge: keep the point with more observations
-                if pt.n_obs[existing] > pt.n_obs[pid]:
-                    m.replace_point(pid, existing)
-                else:
+                if existing == pid:
+                    continue
+                # merge: candidate wins in SearchAndFuse mode, else the
+                # point with more observations survives
+                if prefer_candidates or pt.n_obs[pid] >= pt.n_obs[existing]:
                     m.replace_point(existing, pid)
+                else:
+                    m.replace_point(pid, existing)
             else:
                 m.add_observation(pid, target, fid)
                 m.update_point_descriptor(pid)
@@ -531,10 +538,18 @@ class HumanLocalBA:
         motion_edge_valid = np.zeros((T, L, 5), bool)
         pose_windows = []   # per t: list of pose indices into traj.poses
 
+        fast = self.config.optimizer.use_fast_human_ba
         for t, traj in enumerate(trajs):
-            # window: last L poses whose ref KF is in the window
-            sel = [i for i, hp in enumerate(traj.poses)
-                   if hp.kf_id in window_ids][-L:]
+            if fast:
+                # Fast variant: the ENTIRE trajectory enters the graph
+                # (Optimizer::LocalBundleAdjustmentHumanTrajactoryFast,
+                # Optimizer.cc:736-1493), capped only by the padded window
+                sel = list(range(len(traj.poses)))[-L:]
+            else:
+                # windowed variant: last L poses whose ref KF is in the
+                # window (Optimizer.cc:1496-2224)
+                sel = [i for i, hp in enumerate(traj.poses)
+                       if hp.kf_id in window_ids][-L:]
             pose_windows.append(sel)
             if len(sel) < 2:
                 continue
@@ -645,13 +660,14 @@ class HumanLocalBA:
 class GlobalBA:
     """Full-map bundle adjustment (reference: Optimizer::GlobalBundleAdjustemnt
     + LoopClosing::RunGlobalBundleAdjustment, Optimizer.cc:52-230,
-    LoopClosing.cc:645-749): every keyframe (KF0 fixed) and every live map
-    point, 10+10 iterations.  Reuses the Schur local-BA device program with
-    the whole map as the 'local' window."""
+    LoopClosing.cc:645-749): EVERY keyframe (KF0 fixed) and EVERY live map
+    point — the problem is sized to the actual map through grow-only buckets
+    (matrix-free Schur+PCG device program, O(edges) memory), not truncated."""
 
     def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor,
-                 max_kfs: int = 64, max_points: int = 8192,
-                 max_edges: int = 32768):
+                 max_kfs: int = 4096, max_points: int = 1 << 20,
+                 max_edges: int = 1 << 22):
+        from airdos_tpu.solvers.global_ba import global_bundle_adjust
         self.config = config
         self.map = slam_map
         cam = config.camera
@@ -664,16 +680,21 @@ class GlobalBA:
         self._cb = _StickyBucket(16, max_kfs)
         self._pb = _StickyBucket(1024, max_points)
         self._eb = _StickyBucket(4096, max_edges)
-        self._jit = jax.jit(local_bundle_adjust,
-                            static_argnames=("iters1", "iters2"))
+        self._jit = jax.jit(global_bundle_adjust,
+                            static_argnames=("iters1", "iters2", "cg_iters"))
 
     def __call__(self, n_iters: int = 20):
         m = self.map
         pt = m.points
         kfs = sorted((k for k in m.kfs.values() if not k.bad),
-                     key=lambda k: k.id)[: self.max_kfs]
+                     key=lambda k: k.id)
         if len(kfs) < 2:
             return
+        if len(kfs) > self.max_kfs:
+            import warnings
+            warnings.warn(f"GlobalBA: map has {len(kfs)} keyframes, above "
+                          f"the {self.max_kfs} budget; truncating")
+            kfs = kfs[: self.max_kfs]
         cam_index = {k.id: i for i, k in enumerate(kfs)}
         point_ids = [int(p) for p in pt.live_ids()][: self.max_points]
         if len(point_ids) < 10:
@@ -723,7 +744,7 @@ class GlobalBA:
                         jnp.asarray(e_obs), jnp.asarray(e_info),
                         jnp.asarray(e_valid),
                         self.fx, self.fy, self.cx, self.cy, self.bf,
-                        iters1=n_iters // 2, iters2=n_iters)
+                        iters1=n_iters // 2, iters2=n_iters, cg_iters=48)
         R_out = np.asarray(res.R)
         t_out = np.asarray(res.t)
         pts_out = np.asarray(res.points)

@@ -96,8 +96,9 @@ class FrontEnd:
         else:
             maskL = jnp.ones((cfg.camera.height, cfg.camera.width), jnp.uint8)
             maskR = maskL
+        use_gt_depth = cfg.system.is_ground_truth_depth and data.depth is not None
         want_disp = bool(cfg.human.ok and data.humans_left is not None
-                         and len(data.humans_left) > 0)
+                         and len(data.humans_left) > 0 and not use_gt_depth)
         fL, fR, sm, xy_un, disp = self._build(imL, imR, maskL, maskR,
                                               with_disparity=want_disp)
         frame = Frame(self, data, fL, fR, sm, xy_un,
@@ -169,7 +170,10 @@ class Frame:
 
         # humans
         self.humans: list[HumanObservation] = []
-        if disparity is not None and data.humans_left is not None:
+        if self.config.system.is_ground_truth_depth and \
+                data.depth is not None and data.humans_left is not None:
+            self._humans_from_depth(data)
+        elif disparity is not None and data.humans_left is not None:
             self._associate_humans(data, disparity)
 
     # ------------------------------------------------------------- pose
@@ -186,6 +190,45 @@ class Frame:
         return -self.Rcw.T @ self.tcw
 
     # ------------------------------------------------------------ humans
+    def _humans_from_depth(self, data):
+        """RGB-D human joints: depth read straight off the registered depth
+        image, pseudo right keypoint u - bf/d (System.IsGroundTruthDepth;
+        reference Frame::ComputeHumanPoseDepth, Frame.cc:249-311)."""
+        cfg = self.config
+        bf = float(cfg.camera.bf)
+        reject_th = cfg.human.reject_th
+        depth_im = data.depth
+        h, w = depth_im.shape[:2]
+        tids = data.track_ids
+        for li, L in enumerate(data.humans_left):
+            tid = int(tids[li]) if tids is not None and li < len(tids) else -1
+            if tids is not None and li < len(tids) and tid < 0:
+                continue
+            depth = np.zeros(N_JOINTS, np.float32)
+            bad = np.zeros(N_JOINTS, bool)
+            kp_r = np.zeros((N_JOINTS, 2), np.float32)
+            for j in range(N_JOINTS):
+                u, v = L[j, 0], L[j, 1]
+                ui = int(np.clip(u, 0, w - 1))
+                vi = int(np.clip(v, 0, h - 1))
+                d = float(depth_im[vi, ui])
+                b = False
+                if d < 0.01:
+                    b = True
+                    d = 0.01
+                if L[j, 2] < reject_th:
+                    b = True
+                depth[j] = d
+                bad[j] = b
+                kp_r[j] = (u - bf / d, v)
+            self.humans.append(HumanObservation(
+                track_id=tid,
+                kp_left=L[:, :2].astype(np.float32),
+                kp_right=kp_r,
+                conf_left=L[:, 2].astype(np.float32),
+                conf_right=np.ones(N_JOINTS, np.float32),
+                depth=depth, bad=bad))
+
     def _associate_humans(self, data, disp_map: np.ndarray):
         """Greedy left->right association via disparity-compensated torso
         distance, then per-joint triangulation (reference semantics)."""

@@ -23,6 +23,8 @@ import numpy as np
 
 from airdos_tpu.config import SlamConfig
 from airdos_tpu.matching.bow_match import match_by_bow
+from airdos_tpu.matching.projection import match_local_points
+from airdos_tpu.matching.sim3_match import match_by_sim3
 from airdos_tpu.slam.keyframe_db import KeyFrameDatabase
 from airdos_tpu.slam.map import KeyFrame, SlamMap
 from airdos_tpu.solvers.pose_graph import optimize_essential_graph
@@ -45,6 +47,13 @@ class LoopCloser:
         self._consistent_groups: List[Tuple[Set[int], int]] = []
         self._last_loop_kf = -1e9
         self._jit_bow = jax.jit(match_by_bow, static_argnames=("check_rotation",))
+        self._jit_sim3_match = jax.jit(match_by_sim3)
+        self._jit_proj = jax.jit(match_local_points,
+                                 static_argnames=("n_levels",))
+        self.scale_factors = np.asarray(extractor.scales, np.float32)
+        self.log_scale = float(np.log(config.orb.scale_factor))
+        self.n_levels = config.orb.n_levels
+        self.width, self.height = cam.width, cam.height
         self.rng = np.random.default_rng(0)
         self.n_loops_closed = 0
 
@@ -119,34 +128,182 @@ class LoopCloser:
                           self.fx, self.fy, self.cx, self.cy, fix_scale=True)
         if int(res.n_inliers) < 12:
             return None
+
+        # --- SearchBySim3: grow matches through the RANSAC Sim3 ----------
+        # (reference ORBmatcher::SearchBySim3, ORBmatcher.cc:1102-1326)
+        grown = self._search_by_sim3(kf, ckf, np.asarray(res.R),
+                                     np.asarray(res.t), float(res.s),
+                                     {p[0] for p in pairs},
+                                     {p[3] for p in pairs})
+        pairs = pairs + grown
+
+        n = len(pairs)
+        x1 = np.asarray([kf.Rcw @ pt.pos[p1] + kf.tcw for _, _, p1, _ in pairs],
+                        np.float32)
+        x2 = np.asarray([ckf.Rcw @ pt.pos[p2] + ckf.tcw for _, _, _, p2 in pairs],
+                        np.float32)
+        s1 = self.sigma2[kf.octave[[p[0] for p in pairs]]]
+        s2 = self.sigma2[ckf.octave[[p[1] for p in pairs]]]
         obs1 = kf.xy_un[[p[0] for p in pairs]].astype(np.float32)
         obs2 = ckf.xy_un[[p[1] for p in pairs]].astype(np.float32)
+        valid0 = np.zeros(n, bool)
+        valid0[:] = True
         R, t, s, inl, n_in = optimize_sim3(
             res.R, res.t, res.s,
             jnp.asarray(x1), jnp.asarray(obs1), jnp.asarray(s1),
             jnp.asarray(x2), jnp.asarray(obs2), jnp.asarray(s2),
-            res.inliers, self.fx, self.fy, self.cx, self.cy)
+            jnp.asarray(valid0), self.fx, self.fy, self.cx, self.cy)
         if int(n_in) < 20:
             return None
+        R, t, s = np.asarray(R), np.asarray(t), float(s)
         matches = {p[0]: p[3] for p, keep in zip(pairs, np.asarray(inl)) if keep}
-        return (np.asarray(R), np.asarray(t), float(s), matches, cand_id)
+
+        # --- loop-neighborhood projection gate ---------------------------
+        # gather the candidate group's points and project them into the
+        # current KF through the corrected Scw; demand >= 40 total matches
+        # (reference LoopClosing.cc:350-390)
+        loop_points = self._gather_loop_points(ckf)
+        n_total, proj_matches = self._project_loop_points(
+            kf, loop_points, R, t, s, ckf, matches)
+        if n_total < 40:
+            return None
+        matches.update(proj_matches)
+        return (R, t, s, matches, cand_id, loop_points)
+
+    def _search_by_sim3(self, kf: KeyFrame, ckf: KeyFrame,
+                        R12, t12, s12,
+                        matched_f1: Set[int], matched_p2: Set[int]):
+        """Grow (f1, f2, p1, p2) pairs via mutual Sim3 projection."""
+        pt = self.map.points
+
+        def point_tables(k, skip_pid):
+            n = k.n_slots
+            x = np.zeros((n, 3), np.float32)
+            desc = np.zeros((n, 8), np.uint32)
+            maxd = np.zeros(n, np.float32)
+            val = np.zeros(n, bool)
+            rows = np.nonzero(k.mp_idx >= 0)[0]
+            for fid in rows:
+                pid = int(k.mp_idx[fid])
+                if pt.bad[pid] or pid in skip_pid:
+                    continue
+                x[fid] = k.Rcw @ pt.pos[pid] + k.tcw    # own camera frame
+                desc[fid] = pt.desc32[pid]
+                maxd[fid] = pt.max_dist[pid]
+                val[fid] = True
+            return x, desc, maxd, val
+
+        x1c, desc1, maxd1, val1 = point_tables(kf, set())
+        x2c, desc2, maxd2, val2 = point_tables(ckf, matched_p2)
+        val1 &= ~np.isin(np.arange(kf.n_slots), list(matched_f1))
+        # transform: KF2 points -> cam1 via S12; KF1 points -> cam2 via S21
+        x2_in_c1 = s12 * (x2c @ R12.T) + t12
+        x1_in_c2 = ((x1c - t12) @ R12) / s12
+        m = self._jit_sim3_match(
+            jnp.asarray(x2_in_c1), jnp.asarray(val2), jnp.asarray(desc2),
+            jnp.asarray(maxd2),
+            jnp.asarray(x1_in_c2), jnp.asarray(val1), jnp.asarray(desc1),
+            jnp.asarray(maxd1),
+            jnp.asarray(kf.xy_un), jnp.asarray(kf.octave),
+            jnp.asarray(kf.desc32), jnp.asarray(kf.valid),
+            jnp.asarray(ckf.xy_un), jnp.asarray(ckf.octave),
+            jnp.asarray(ckf.desc32), jnp.asarray(ckf.valid),
+            self.fx, self.fy, self.cx, self.cy, self.width, self.height,
+            jnp.asarray(self.scale_factors), self.log_scale, self.n_levels)
+        idx2 = np.asarray(m.idx2_of_1)
+        grown = []
+        for f1 in np.nonzero(idx2 >= 0)[0]:
+            f1 = int(f1)
+            f2 = int(idx2[f1])
+            p1 = int(kf.mp_idx[f1])
+            p2 = int(ckf.mp_idx[f2])
+            if p1 >= 0 and p2 >= 0 and not pt.bad[p1] and not pt.bad[p2] \
+                    and f1 not in matched_f1 and p2 not in matched_p2:
+                grown.append((f1, f2, p1, p2))
+        return grown
+
+    def _gather_loop_points(self, ckf: KeyFrame) -> List[int]:
+        """Candidate KF + its covisible neighbours' map points
+        (reference LoopClosing.cc:350-368 mvpLoopMapPoints)."""
+        pt = self.map.points
+        out, seen = [], set()
+        for kid in [ckf.id] + list(ckf.ordered_covis):
+            k = self.map.kfs.get(kid)
+            if k is None or k.bad:
+                continue
+            for pid in k.mp_idx[k.mp_idx >= 0]:
+                p = int(pid)
+                if p not in seen and not pt.bad[p]:
+                    seen.add(p)
+                    out.append(p)
+        return out
+
+    def _project_loop_points(self, kf: KeyFrame, loop_points: List[int],
+                             R12, t12, s12, ckf: KeyFrame,
+                             matches: Dict[int, int]):
+        """SearchByProjection of the loop points through the corrected Scw
+        (th=10); returns (total match count, {fid: pid} new projections)."""
+        pt = self.map.points
+        # corrected current-KF pose: Scw = S12 * T2w (scale folded into t)
+        Rcw = (R12 @ ckf.Rcw).astype(np.float32)
+        tcw = (s12 * (R12 @ ckf.tcw) + t12).astype(np.float32)
+        ow = (-Rcw.T @ tcw / max(s12, 1e-9)).astype(np.float32)
+
+        matched_pids = set(matches.values())
+        cand = [p for p in loop_points if p not in matched_pids]
+        if not cand:
+            return len(matches), {}
+        n = len(cand)
+        ids = np.asarray(cand)
+        xw = pt.pos[ids].astype(np.float32)
+        desc = pt.desc32[ids]
+        normal = pt.normal[ids].astype(np.float32)
+        mind = pt.min_dist[ids].astype(np.float32)
+        maxd = pt.max_dist[ids].astype(np.float32)
+        taken = np.zeros(kf.n_slots, bool)
+        for fid in matches:
+            taken[fid] = True
+        out = self._jit_proj(
+            jnp.asarray(xw), jnp.asarray(desc), jnp.ones(n, bool),
+            jnp.asarray(normal), jnp.asarray(maxd), jnp.asarray(mind),
+            jnp.asarray(Rcw), jnp.asarray(tcw), jnp.asarray(ow),
+            jnp.asarray(kf.xy_un), jnp.asarray(kf.u_right),
+            jnp.asarray(kf.octave), jnp.asarray(kf.desc32),
+            jnp.asarray(kf.valid), jnp.asarray(taken),
+            self.fx, self.fy, self.cx, self.cy, self.bf,
+            self.width, self.height,
+            jnp.asarray(self.scale_factors), self.log_scale,
+            self.n_levels, 10.0)
+        feat_idx = np.asarray(out.feat_idx)
+        proj = {}
+        for i in np.nonzero(feat_idx >= 0)[0]:
+            fid = int(feat_idx[i])
+            if fid not in matches and fid not in proj:
+                proj[fid] = int(ids[i])
+        return len(matches) + len(proj), proj
 
     # ------------------------------------------------------- correct loop
     def correct(self, kf: KeyFrame, sim3_result) -> bool:
-        R12, t12, s12, matches, cand_id = sim3_result
+        R12, t12, s12, matches, cand_id, loop_points = sim3_result
         ckf = self.map.kfs[cand_id]
         m = self.map
         pt = m.points
 
+        # snapshot NON-corrected poses of every keyframe: essential-graph
+        # edge measurements must come from the pre-correction geometry
+        # (reference NonCorrectedSim3, LoopClosing.cc:438-567,
+        # Optimizer.cc:2330-2400) — otherwise every residual starts at zero
+        # and the pose graph is a no-op
+        live = sorted((k for k in m.kfs.values() if not k.bad),
+                      key=lambda k: k.id)
+        nc_R = {k.id: k.Rcw.copy() for k in live}
+        nc_t = {k.id: k.tcw.copy() for k in live}
+
         # corrected pose of kf: T_kf<-world = S12 * T_cand<-world
-        # S12 maps cand camera frame -> kf camera frame... the reference
-        # computes Scw_corrected = S12 * T_cand_cw; here scale = 1 (stereo)
-        R_corr = R12 @ ckf.Rcw
-        t_corr = s12 * (R12 @ ckf.tcw) + t12
-        # wait: S12 maps points in ckf's camera frame into kf's camera frame;
-        # corrected kf pose: x_kf = S12 * (T_ckf_cw x_w)
-        Rcw_new = R_corr
-        tcw_new = t_corr
+        # (S12 maps points in ckf's camera frame into kf's camera frame;
+        # scale = 1 for stereo)
+        Rcw_new = R12 @ ckf.Rcw
+        tcw_new = s12 * (R12 @ ckf.tcw) + t12
 
         # propagate the correction to kf's covisible group
         delta_R = Rcw_new @ kf.Rcw.T
@@ -175,11 +332,23 @@ class LoopCloser:
                 m.replace_point(pid_cur, pid_loop)
             elif pid_cur < 0 and not pt.bad[pid_loop]:
                 m.add_observation(pid_loop, kf, fid)
-        if self.fuser is not None:
-            self.fuser(kf)
 
-        # essential-graph optimization over all keyframes
-        kfs = sorted((k for k in m.kfs.values() if not k.bad), key=lambda k: k.id)
+        # SearchAndFuse: project the loop-neighborhood points into every
+        # corrected-group KF and fuse, loop points winning conflicts
+        # (reference LoopClosing::SearchAndFuse, LoopClosing.cc:587,
+        # ORBmatcher::Fuse(Scw), ORBmatcher.cc:290-403)
+        if self.fuser is not None:
+            for gid in group:
+                gkf = m.kfs.get(gid)
+                if gkf is not None and not gkf.bad:
+                    self.fuser._fuse_into(loop_points, gkf,
+                                          prefer_candidates=True)
+            m.update_connections(kf)
+
+        # essential-graph optimization over all keyframes: vertices start at
+        # the CURRENT (group-corrected) poses, measurements come from the
+        # NON-corrected snapshot; only the new loop edge uses corrected ones
+        kfs = live
         index = {k.id: i for i, k in enumerate(kfs)}
         K = len(kfs)
         kf_R = np.stack([k.Rcw for k in kfs]).astype(np.float32)
@@ -189,15 +358,19 @@ class LoopCloser:
         e_i, e_j, Rm, tm = [], [], [], []
         added = set()
 
-        def add_edge(a, b):
+        def add_edge(a, b, corrected=False):
             if a == b or (a, b) in added or (b, a) in added:
                 return
             ia, ib = index.get(a), index.get(b)
             if ia is None or ib is None:
                 return
             added.add((a, b))
-            Ra, ta = kf_R[ia], kf_t[ia]
-            Rb, tb = kf_R[ib], kf_t[ib]
+            if corrected:
+                Ra, ta = kf_R[ia], kf_t[ia]
+                Rb, tb = kf_R[ib], kf_t[ib]
+            else:
+                Ra, ta = nc_R[a], nc_t[a]
+                Rb, tb = nc_R[b], nc_t[b]
             Rrel = Rb @ Ra.T
             trel = tb - Rrel @ ta
             e_i.append(ia)
@@ -205,6 +378,7 @@ class LoopCloser:
             Rm.append(Rrel)
             tm.append(trel)
 
+        add_edge(kf.id, cand_id, corrected=True)   # the new loop edge
         for k in kfs:
             if k.parent is not None:
                 add_edge(k.id, k.parent)
@@ -213,7 +387,6 @@ class LoopCloser:
                     add_edge(k.id, nid)
             for lid in k.loop_edges:
                 add_edge(k.id, lid)
-        add_edge(kf.id, cand_id)   # the new loop edge (with corrected poses)
         if len(e_i) < 2:
             return False
         E = len(e_i)

@@ -86,6 +86,17 @@ class System:
         """TrackStereoHuman — stereo + dynamic-human pipeline."""
         return self._track(data)
 
+    def activate_localization_mode(self):
+        """Track against the frozen map; local mapping is paused and no
+        keyframes are inserted (reference System::ActivateLocalizationMode,
+        System.cc:288-296)."""
+        with self._map_lock:
+            self.tracking.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        with self._map_lock:
+            self.tracking.only_tracking = False
+
     def _init_place_recognition(self):
         from airdos_tpu.slam.keyframe_db import KeyFrameDatabase
         from airdos_tpu.slam.loop_closing import LoopCloser
@@ -139,7 +150,7 @@ class System:
             self._maybe_train_vocabulary()
             if self.keyframe_db is not None and not prev_kf.bad:
                 if self.loop_closer is not None and \
-                        self.config.enable_loop_closing:
+                        self.config.loop_closing_active:
                     self.loop_closer.process(prev_kf)
                 else:
                     self.keyframe_db.add(prev_kf)
@@ -161,6 +172,7 @@ class System:
         prev_kf = self.map.kfs.get(self.tracking.last_kf_id)
 
         if (self.tracking.state == TrackState.OK and prev_kf is not None
+                and not self.tracking.only_tracking
                 and prev_kf.frame_id == frame.index):
             if self._map_queue is not None:
                 self._map_queue.put(prev_kf)

@@ -78,6 +78,10 @@ class Tracking:
         self._ones_mask_dev = jnp.ones((self.height, self.width), jnp.uint8)
         self.last_frame: Optional[Frame] = None
         self.current: Optional[Frame] = None
+        # localization-only mode: track against the frozen map, never
+        # insert keyframes (reference System::ActivateLocalizationMode,
+        # System.cc:288-296; Tracking mbOnlyTracking)
+        self.only_tracking = False
         self.velocity: Optional[tuple] = None       # (R, t) of Tcl (cur<-last)
         self.last_kf_id = -1
         self.last_reloc_frame = -1e9
@@ -86,12 +90,16 @@ class Tracking:
         # temp VO points attached to the last frame: feat_idx -> world pos
         self._vo_points: Dict[int, np.ndarray] = {}
 
+        from airdos_tpu.matching.bow_match import match_by_bow
         from airdos_tpu.slam.fused import local_map_step, motion_model_step
         self._jit_motion_step = jax.jit(motion_model_step,
                                         static_argnames=())
         self._jit_local_step = jax.jit(local_map_step,
                                        static_argnames=("n_levels",))
         self._jit_pose_opt = jax.jit(pose_optimize)
+        self._jit_bow_match = jax.jit(match_by_bow,
+                                      static_argnames=("check_rotation",))
+        self._jit_reloc_match = jax.jit(match_last_frame)
         self._scale_factors_dev = jnp.asarray(self.scale_factors)
 
         self.max_local_points = config.device.max_local_points
@@ -101,7 +109,13 @@ class Tracking:
         """Process one stereo frame (GrabImageStereo[Human] + OffLineTrack)."""
         frame = None
         fast_ok = None
-        if self.state == TrackState.OK and self.velocity is not None:
+        self._reanchor_last_frame()
+        # the motion model is unusable right after relocalization (velocity
+        # spans a lost/garbage pose) — force reference-KF tracking for two
+        # frames (reference Tracking.cc:587: mnId < mnLastRelocFrameId+2)
+        just_relocalized = data.index < self.last_reloc_frame + 2
+        if self.state == TrackState.OK and self.velocity is not None \
+                and not just_relocalized:
             frame, fast_ok = self._track_fast(data)
         if frame is None:
             frame = self.frontend.build_frame(data)
@@ -121,7 +135,7 @@ class Tracking:
             else:
                 ok = False
                 if self.state == TrackState.OK:
-                    if self.velocity is not None:
+                    if self.velocity is not None and not just_relocalized:
                         ok = self._track_with_motion_model(frame)
                     if not ok:
                         ok = self._track_reference_keyframe(frame)
@@ -134,9 +148,13 @@ class Tracking:
                 self._update_velocity(frame)
                 self._clean_vo_matches(frame)
                 with self.map_lock:
-                    if self._need_new_keyframe(frame):
+                    if not self.only_tracking and self._need_new_keyframe(frame):
                         self._create_new_keyframe(frame)
-                    elif self.config.human.ok and frame.humans:
+                    elif self.config.human.ok and frame.humans and \
+                            not self.only_tracking and \
+                            not self.config.optimizer.is_keyframe_only:
+                        # IsKeyFrameOnly=0: human poses enter on EVERY
+                        # tracked frame (reference Tracking.cc:493)
                         self._grab_human_poses(frame, kf=None)
                 # mark outliers as free slots (reference: Track() end)
                 frame.mp_idx[frame.outlier] = -1
@@ -147,8 +165,33 @@ class Tracking:
                     self._reset()
 
         self._record_frame(frame)
+        frame.lost = self.state != TrackState.OK
+        # store Tlr (pose relative to the reference KF) so the next step can
+        # re-anchor this frame after BA / loop corrections move KF poses
+        # (reference Tracking::UpdateLastFrame, Tracking.cc:877)
+        ref = self.map.kfs.get(frame.ref_kf_id) \
+            if frame.ref_kf_id is not None else None
+        if ref is not None and not frame.lost:
+            frame.Tlr = ((frame.Rcw @ ref.Rwc).astype(np.float32),
+                         (frame.Rcw @ ref.Ow + frame.tcw).astype(np.float32))
+        else:
+            frame.Tlr = None
         self.last_frame = frame
         return frame
+
+    def _reanchor_last_frame(self):
+        """Re-express the last frame's pose through its reference keyframe:
+        Tlw = Tlr * Trw.  Keeps the motion-model prediction consistent when
+        local BA or a loop closure has moved KF poses since the frame was
+        tracked (reference Tracking::UpdateLastFrame, Tracking.cc:877)."""
+        lf = self.last_frame
+        if lf is None or getattr(lf, "Tlr", None) is None:
+            return
+        ref = self.map.kfs.get(lf.ref_kf_id)
+        if ref is None:
+            return
+        Rlr, tlr = lf.Tlr
+        lf.set_pose(Rlr @ ref.Rcw, Rlr @ ref.tcw + tlr)
 
     # ======================================================== init / reset
     def _stereo_initialization(self, frame: Frame):
@@ -272,7 +315,9 @@ class Tracking:
             maskL = self._ones_mask_dev
             maskR = self._ones_mask_dev
         want_disp = bool(cfg.human.ok and data.humans_left is not None
-                         and len(data.humans_left) > 0)
+                         and len(data.humans_left) > 0
+                         and not (cfg.system.is_ground_truth_depth
+                                  and data.depth is not None))
 
         prior_pack = np.concatenate([Rp.reshape(-1), tp]).astype(np.float32)
         Np = lf.n_slots
@@ -305,36 +350,36 @@ class Tracking:
         if n_motion < 20:
             return frame, False
 
-        self.map_lock.acquire()
-        # associations: motion matches (last-frame slots -> pids/VO)
-        mp_idx = frame.mp_idx
-        mpof = host.feat_i32[:, 2]
-        for fid in np.nonzero(mpof >= 0)[0]:
-            src = mpof[fid]
-            pid = lf.mp_idx[src]
-            if pid >= 0 and not pt.bad[pid]:
-                mp_idx[fid] = pid
-            elif src in self._vo_points:
-                mp_idx[fid] = -2 - src
-        # local candidate matches
-        lpof = host.feat_i32[:, 3]
-        new_rows = np.nonzero(lpof >= 0)[0]
-        if len(new_rows) and len(ids):
-            mp_idx[new_rows] = ids[lpof[new_rows]]
-        drop = np.nonzero(lpof == -2)[0]
-        frame.outlier = np.zeros(frame.n_slots, bool)
-        frame.outlier[drop] = True
-        mp_idx[drop] = -1
+        with self.map_lock:
+            # associations: motion matches (last-frame slots -> pids/VO)
+            mp_idx = frame.mp_idx
+            mpof = host.feat_i32[:, 2]
+            for fid in np.nonzero(mpof >= 0)[0]:
+                src = mpof[fid]
+                pid = lf.mp_idx[src]
+                if pid >= 0 and not pt.bad[pid]:
+                    mp_idx[fid] = pid
+                elif src in self._vo_points:
+                    mp_idx[fid] = -2 - src
+            # local candidate matches
+            lpof = host.feat_i32[:, 3]
+            new_rows = np.nonzero(lpof >= 0)[0]
+            if len(new_rows) and len(ids):
+                mp_idx[new_rows] = ids[lpof[new_rows]]
+            drop = np.nonzero(lpof == -2)[0]
+            frame.outlier = np.zeros(frame.n_slots, bool)
+            frame.outlier[drop] = True
+            mp_idx[drop] = -1
 
-        if len(ids):
-            pt.visible[ids] += 1
-        found_rows = np.nonzero(mp_idx >= 0)[0]
-        if len(found_rows):
-            pt.found[mp_idx[found_rows]] += 1
-        self.n_inliers = n_inliers
-        self._local_keyframes(frame)     # sets frame.ref_kf_id
-        ok = n_inliers >= 30 or (self.map.n_keyframes() <= 2 and n_inliers >= 15)
-        self.map_lock.release()
+            if len(ids):
+                pt.visible[ids] += 1
+            found_rows = np.nonzero(mp_idx >= 0)[0]
+            if len(found_rows):
+                pt.found[mp_idx[found_rows]] += 1
+            self.n_inliers = n_inliers
+            self._local_keyframes(frame)     # sets frame.ref_kf_id
+            ok = n_inliers >= 30 or (self.map.n_keyframes() <= 2
+                                     and n_inliers >= 15)
         return frame, ok
 
     # ==================================================== frame-to-frame
@@ -446,15 +491,56 @@ class Tracking:
         return -2 - code
 
     # =================================================== reference-KF track
+    def _frame_nodes(self, frame: Frame) -> np.ndarray:
+        """Per-feature vocabulary node ids at the grouping level (lazily
+        computed and cached on the frame; Frame::ComputeBoW semantics)."""
+        nodes = getattr(frame, "feat_nodes", None)
+        if nodes is None:
+            _, _, nodes = self.keyframe_db.voc.transform(frame.desc32,
+                                                         frame.valid)
+            frame.feat_nodes = nodes
+        return nodes
+
     def _track_reference_keyframe(self, frame: Frame) -> bool:
-        """Reference uses SearchByBoW; until the BoW stack lands this uses a
-        wide projection search from the reference KF's points, which serves
-        the same role for short-baseline recovery."""
+        """SearchByBoW against the reference KF + motion-only pose opt
+        (reference Tracking::TrackReferenceKeyFrame, Tracking.cc:827-869;
+        ORBmatcher::SearchByBoW KF<->Frame, ORBmatcher.cc:159-288).  Falls
+        back to a wide projection search when no vocabulary is loaded."""
         if frame.ref_kf_id is None:
             frame.ref_kf_id = self.last_kf_id
         kf = self.map.kfs.get(self.last_kf_id)
         if kf is None:
             return False
+        if self.keyframe_db is not None:
+            return self._track_ref_kf_bow(frame, kf)
+        return self._track_ref_kf_projection(frame, kf)
+
+    def _track_ref_kf_bow(self, frame: Frame, kf) -> bool:
+        pt = self.map.points
+        self.keyframe_db.ensure_bow(kf)
+        fnodes = self._frame_nodes(frame)
+        m = self._jit_bow_match(
+            jnp.asarray(kf.desc32), jnp.asarray(kf.feat_nodes),
+            jnp.asarray(kf.valid & (kf.mp_idx >= 0)), jnp.asarray(kf.angle),
+            frame.dev["desc32"], jnp.asarray(fnodes),
+            frame.dev["valid"], frame.dev["angle"])
+        idx2 = np.asarray(m.idx2)
+        n_matches = 0
+        for f1 in np.nonzero(idx2 >= 0)[0]:
+            pid = int(kf.mp_idx[f1])
+            if pid >= 0 and not pt.bad[pid]:
+                frame.mp_idx[int(idx2[f1])] = pid
+                n_matches += 1
+        if n_matches < 15:
+            frame.mp_idx[:] = -1
+            return False
+        frame.set_pose(self.last_frame.Rcw, self.last_frame.tcw)
+        n_real = self._opt_pose_with_assoc(frame)
+        return n_real >= 10
+
+    def _track_ref_kf_projection(self, frame: Frame, kf) -> bool:
+        """No-vocabulary fallback: wide projection search from the reference
+        KF's points (serves SearchByBoW's short-baseline recovery role)."""
         frame.set_pose(self.last_frame.Rcw, self.last_frame.tcw)
         xw = np.zeros((kf.n_slots, 3), np.float32)
         valid = np.zeros(kf.n_slots, bool)
@@ -495,19 +581,24 @@ class Tracking:
         return self._track_reference_keyframe(frame)
 
     def _relocalize_bow(self, frame: Frame) -> bool:
-        from airdos_tpu.matching.bow_match import match_by_bow
+        """Reference protocol (Tracking::Relocalization, Tracking.cc:1493-
+        1654): BoW candidates -> per-candidate SearchByBoW >=15 -> EPnP
+        RANSAC -> pose opt -> projective match expansion at 10px/ORBdist 100
+        if <50 inliers -> re-opt -> narrow 3px/ORBdist 64 expansion if still
+        30..50 -> accept only with >=50 inliers."""
         from airdos_tpu.solvers.epnp import epnp_ransac
         db = self.keyframe_db
         bow, wids, fnodes = db.voc.transform(frame.desc32, frame.valid)
+        frame.feat_nodes = fnodes
         cands = db.detect_reloc_candidates(bow)
         pt = self.map.points
         rng = np.random.default_rng(frame.index)
-        for kid in cands[:5]:
+        for kid in cands[:8]:
             kf = self.map.kfs.get(kid)
             if kf is None or kf.bad:
                 continue
             db.ensure_bow(kf)
-            m = jax.jit(match_by_bow, static_argnames=("check_rotation",))(
+            m = self._jit_bow_match(
                 jnp.asarray(kf.desc32), jnp.asarray(kf.feat_nodes),
                 jnp.asarray(kf.valid), jnp.asarray(kf.angle),
                 frame.dev["desc32"], jnp.asarray(fnodes),
@@ -532,18 +623,74 @@ class Tracking:
                               self.fx, self.fy, self.cx, self.cy)
             if int(res.n_inliers) < 10:
                 continue
+            frame.mp_idx[:] = -1
             frame.set_pose(np.asarray(res.R), np.asarray(res.t))
             inl = np.asarray(res.inliers)
             for (pid, fid), keep in zip(rows, inl):
                 if keep:
                     frame.mp_idx[fid] = pid
-            # refine with motion-only BA over the associations
-            n_real = self._opt_pose_with_assoc(frame)
-            if n_real >= 15:
+            n_good = self._opt_pose_with_assoc(frame)
+            if n_good < 10:
+                frame.mp_idx[:] = -1
+                continue
+            if n_good < 50:
+                # first projective expansion: 10 px window, ORBdist 100
+                added = self._reloc_expand(frame, kf, th=10.0, orb_dist=100)
+                if n_good + added >= 50:
+                    n_good = self._opt_pose_with_assoc(frame)
+                    if 30 < n_good < 50:
+                        # narrow second expansion: 3 px window, ORBdist 64
+                        self._reloc_expand(frame, kf, th=3.0, orb_dist=64)
+                        n_good = self._opt_pose_with_assoc(frame)
+            if n_good >= 50:
                 frame.ref_kf_id = kid
                 return True
             frame.mp_idx[:] = -1
         return False
+
+    def _reloc_expand(self, frame: Frame, kf, th: float, orb_dist: int) -> int:
+        """Project the candidate KF's map points not yet matched into the
+        frame and add matches within th px and Hamming <= orb_dist
+        (ORBmatcher::SearchByProjection reloc variant, ORBmatcher.cc:
+        1472-1599)."""
+        pt = self.map.points
+        already = set(int(p) for p in frame.mp_idx[frame.mp_idx >= 0])
+        xw = np.zeros((kf.n_slots, 3), np.float32)
+        valid = np.zeros(kf.n_slots, bool)
+        desc_p = np.zeros((kf.n_slots, 8), np.uint32)
+        rows = np.nonzero(kf.mp_idx >= 0)[0]
+        for fid in rows:
+            pid = int(kf.mp_idx[fid])
+            if pid in already or pt.bad[pid]:
+                continue
+            xw[fid] = pt.pos[pid]
+            desc_p[fid] = pt.desc32[pid]
+            valid[fid] = True
+        if not valid.any():
+            return 0
+        taken = frame.mp_idx >= 0
+        out = self._jit_reloc_match(
+            jnp.asarray(xw), jnp.asarray(desc_p),
+            jnp.asarray(kf.octave), jnp.asarray(kf.angle),
+            jnp.asarray(valid),
+            jnp.asarray(frame.Rcw), jnp.asarray(frame.tcw),
+            frame.dev["xy_un"], frame.dev["u_right"], frame.dev["octave"],
+            frame.dev["angle"], frame.dev["desc32"],
+            jnp.asarray(frame.valid), jnp.asarray(taken),
+            self.fx, self.fy, self.cx, self.cy, self.bf,
+            self.width, self.height,
+            self._scale_factors_dev, th, False, False)
+        feat_idx, dist = jax.device_get((out.feat_idx, out.dist))
+        added = 0
+        for src in np.nonzero(feat_idx >= 0)[0]:
+            if dist[src] > orb_dist:
+                continue
+            pid = int(kf.mp_idx[src])
+            fid = int(feat_idx[src])
+            if pid >= 0 and not pt.bad[pid] and frame.mp_idx[fid] < 0:
+                frame.mp_idx[fid] = pid
+                added += 1
+        return added
 
     def _opt_pose_with_assoc(self, frame: Frame) -> int:
         pt = self.map.points
@@ -799,10 +946,12 @@ class Tracking:
     # ========================================================== misc
     def _update_velocity(self, frame: Frame):
         lf = self.last_frame
-        if lf is None:
+        # a lost last frame carries a garbage pose — no usable velocity
+        # (reference Tracking.cc:470: mVelocity = cv::Mat() when
+        # mLastFrame.mTcw is empty)
+        if lf is None or getattr(lf, "lost", False):
             self.velocity = None
             return
-        Rlw, tlw = lf.Rwc, lf.Ow
         # Tcl = Tcw_cur * Twc_last
         R = frame.Rcw @ lf.Rwc
         t = frame.Rcw @ lf.Ow + frame.tcw
@@ -833,14 +982,14 @@ class Tracking:
             kf = self.map.kfs.get(rec.ref_kf_id)
             if kf is None:
                 continue
-            R_kf, t_kf = kf.Rcw, kf.tcw
-            # walk up the spanning tree if the KF was culled
+            # walk up the spanning tree if the KF was culled, accumulating
+            # T_acc = Tcp_1 * Tcp_2 * ... on the RIGHT (reference
+            # System.cc:371: Trw = Trw * pKF->mTcp)
             Rrel = np.eye(3, dtype=np.float32)
             trel = np.zeros(3, np.float32)
             while kf.bad and kf.parent is not None and kf.Tcp is not None:
                 Rt, tt = kf.Tcp
-                Rrel = Rrel @ Rt if False else Rt @ Rrel
-                trel = Rt @ trel + tt
+                Rrel, trel = Rrel @ Rt, Rrel @ tt + trel
                 kf = self.map.kfs[kf.parent]
             Rcw = rec.Tcr_R @ Rrel @ kf.Rcw if not np.allclose(Rrel, np.eye(3)) \
                 else rec.Tcr_R @ kf.Rcw

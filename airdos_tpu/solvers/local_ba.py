@@ -14,6 +14,10 @@ TPU-first design (replaces g2o's sparse CSparse/Eigen solve):
   landmark block (Schur complement) via segment-sums; the reduced camera
   system (6C x 6C, C <= ~48) is solved densely on device.
 - The 5+10-iteration protocol with mid-run outlier demotion is one jit.
+- Multi-chip: pass ``axis_name`` and shard-local edge tables; every
+  edge-reduction (normal-equation blocks, costs) is psum-reduced over the
+  mesh axis, the small reduced solve runs replicated.  See
+  parallel.sharded_ba.sharded_local_bundle_adjust for the shard_map wrapper.
 """
 from __future__ import annotations
 
@@ -80,13 +84,17 @@ def local_bundle_adjust(
         e_info: jnp.ndarray,      # [E] invSigma2
         e_valid: jnp.ndarray,     # [E] bool
         fx, fy, cx, cy, bf,
-        iters1: int = 8, iters2: int = 17) -> LocalBAResult:
+        iters1: int = 8, iters2: int = 17,
+        axis_name: str | None = None) -> LocalBAResult:
     C = cam_R.shape[0]
     P = points.shape[0]
     dtype = points.dtype
     is_stereo = e_obs[:, 2] >= 0
     delta_h = jnp.where(is_stereo, 2.795483, 2.447749)
     chi_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+
+    def psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
 
     def chi2_all(R, t, pts):
         Rc = R[e_cam]
@@ -106,15 +114,15 @@ def local_bundle_adjust(
         w = (e_info * w_h * active).astype(dtype)
 
         cam_free = (~cam_fixed).astype(dtype)
-        # --- assemble blocks via segment sums -------------------------
-        Hcc = jnp.zeros((C, 6, 6), dtype).at[e_cam].add(
-            jnp.einsum("eik,e,eil->ekl", Jc, w, Jc))
-        Hpp = jnp.zeros((P, 3, 3), dtype).at[e_pt].add(
-            jnp.einsum("eik,e,eil->ekl", Jp, w, Jp))
-        bc = jnp.zeros((C, 6), dtype).at[e_cam].add(
-            -jnp.einsum("eik,e,ei->ek", Jc, w, e))
-        bp = jnp.zeros((P, 3), dtype).at[e_pt].add(
-            -jnp.einsum("eik,e,ei->ek", Jp, w, e))
+        # --- assemble blocks via segment sums (psum over mesh shards) --
+        Hcc = psum(jnp.zeros((C, 6, 6), dtype).at[e_cam].add(
+            jnp.einsum("eik,e,eil->ekl", Jc, w, Jc)))
+        Hpp = psum(jnp.zeros((P, 3, 3), dtype).at[e_pt].add(
+            jnp.einsum("eik,e,eil->ekl", Jp, w, Jp)))
+        bc = psum(jnp.zeros((C, 6), dtype).at[e_cam].add(
+            -jnp.einsum("eik,e,ei->ek", Jc, w, e)))
+        bp = psum(jnp.zeros((P, 3), dtype).at[e_pt].add(
+            -jnp.einsum("eik,e,ei->ek", Jp, w, e)))
         # per-edge camera-point coupling W = Jc^T w Jp  [E, 6, 3]
         Wcp = jnp.einsum("eik,e,eil->ekl", Jc, w, Jp)
 
@@ -126,15 +134,11 @@ def local_bundle_adjust(
         Hpp_inv = jnp.where(point_valid[:, None, None], Hpp_inv, 0.0)
 
         # Schur: S = Hcc - sum_e sum_e' W_e Hpp^-1 W_e'^T  (same point)
-        # build per-edge A_e = W_e @ Hpp_inv[pt_e]  [E, 6, 3]
-        A = jnp.einsum("ekl,elm->ekm", Wcp, Hpp_inv[e_pt])
         # S couples cameras sharing a point: S[ci, cj] -= sum over point p of
-        # (sum_{e in p, cam ci} A_e) @ (sum_{e' in p, cam cj} W_e')^T.
-        # Aggregate per (point, camera): U[p] = sum of W over edges; then the
-        # correction is  sum_p  Acam_p^T pairings.  To stay dense-but-small we
-        # materialise per-point camera aggregates via segment sums into
-        # [P, C, ...] only implicitly: with C small, loop-free contraction:
-        Wagg = jnp.zeros((P, C, 6, 3), dtype).at[e_pt, e_cam].add(Wcp)
+        # (sum_{e in p, cam ci} W_e Hpp^-1) @ (sum_{e' in p, cam cj} W_e')^T.
+        # Aggregate per (point, camera) via segment sums into [P, C, 6, 3];
+        # with C small this stays dense-but-small and contraction-friendly:
+        Wagg = psum(jnp.zeros((P, C, 6, 3), dtype).at[e_pt, e_cam].add(Wcp))
         Aagg = jnp.einsum("pckl,plm->pckm", Wagg, Hpp_inv)
         S_corr = jnp.einsum("pikm,pjlm->ijkl", Aagg, Wagg)   # [C, C, 6, 6]
         S = jnp.zeros((C, C, 6, 6), dtype)
@@ -156,9 +160,9 @@ def local_bundle_adjust(
         dx_c = jnp.linalg.solve(Sd, b_red.reshape(-1)).reshape(C, 6)
         dx_c = dx_c * cam_free[:, None]
 
-        # back-substitute points: dx_p = Hpp^-1 (bp - sum_e W_e^T dx_cam_e)
-        WTdx = jnp.zeros((P, 3), dtype).at[e_pt].add(
-            jnp.einsum("ekl,ek->el", Wcp, dx_c[e_cam]))
+        # back-substitute points: dx_p = Hpp^-1 (bp - sum_c Wagg_pc^T dx_c)
+        # (Wagg is already psum-reduced, so this needs no extra collective)
+        WTdx = jnp.einsum("pckl,ck->pl", Wagg, dx_c)
         dx_p = jnp.einsum("plm,pm->pl", Hpp_inv, bp - WTdx)
         dx_p = dx_p * point_valid[:, None].astype(dtype)
 
@@ -174,7 +178,7 @@ def local_bundle_adjust(
             rho = jnp.where(use_huber & (sq > delta_h),
                             2 * delta_h * sq - delta_h * delta_h, chi2)
             rho = jnp.where(jnp.isfinite(rho), rho, 1e30)
-            return jnp.sum(rho * active)
+            return psum(jnp.sum(rho * active))
 
         def body(_, carry):
             R, t, pts, lam, f_prev = carry

@@ -18,21 +18,35 @@ _TRACK_COLORS = np.array([
 
 
 class Viewer:
-    def __init__(self, slam_map, tracking):
+    def __init__(self, slam_map, tracking, keep_overlays: bool = False):
         self.map = slam_map
         self.tracking = tracking
         self.poses = []          # camera centres over time
         self.frame_overlays = []
+        self.keep_overlays = keep_overlays
+        self.gt_poses = None     # optional [N, 3] GT camera centres
 
     def update(self, frame):
         self.poses.append(frame.Ow.copy())
+        if self.keep_overlays:
+            from airdos_tpu.viz.frame_drawer import draw_frame
+            self.frame_overlays.append(draw_frame(
+                frame, self.tracking.state.name,
+                self.map.n_keyframes(), self.map.n_points()))
+
+    def set_ground_truth(self, centers):
+        """GT camera trace for rendering (MapDrawer::DrawCameraGT,
+        reference MapDrawer.cc:511-520)."""
+        self.gt_poses = np.asarray(centers)
 
     def close(self):
         pass
 
     # ---------------------------------------------------------------- io
     def save_map_figure(self, path: str, show_humans: bool = True,
-                        optimized_only: bool = False):
+                        optimized_only: bool = False,
+                        show_covisibility: bool = True,
+                        show_motion: bool = True):
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -47,11 +61,32 @@ class Viewer:
         if self.poses:
             P = np.asarray(self.poses)
             ax.plot(P[:, 0], P[:, 2], "-", c="#1565c0", lw=1.5, label="camera")
-        kf_centers = np.asarray([kf.Ow for kf in self.map.kfs.values()
-                                 if not kf.bad]) if self.map.kfs else None
-        if kf_centers is not None and len(kf_centers):
+        live_kfs = [kf for kf in self.map.kfs.values() if not kf.bad] \
+            if self.map.kfs else []
+        if live_kfs:
+            kf_centers = np.asarray([kf.Ow for kf in live_kfs])
             ax.scatter(kf_centers[:, 0], kf_centers[:, 2], s=12, c="#0d47a1",
                        marker="s", label="keyframes")
+            if show_covisibility:
+                # covisibility graph (>=100 shared points) + spanning tree,
+                # MapDrawer::DrawKeyFrames (reference MapDrawer.cc:96-191)
+                ctr = {kf.id: kf.Ow for kf in live_kfs}
+                segs = []
+                for kf in live_kfs:
+                    for nid, wgt in kf.covis.items():
+                        if wgt >= 100 and nid in ctr and nid > kf.id:
+                            segs.append((ctr[kf.id], ctr[nid]))
+                    if kf.parent is not None and kf.parent in ctr:
+                        segs.append((ctr[kf.id], ctr[kf.parent]))
+                    for lid in kf.loop_edges:
+                        if lid in ctr and lid > kf.id:
+                            segs.append((ctr[kf.id], ctr[lid]))
+                for a, b in segs:
+                    ax.plot([a[0], b[0]], [a[2], b[2]], "-", c="#90caf9",
+                            lw=0.4, zorder=0)
+        if self.gt_poses is not None and len(self.gt_poses):
+            ax.plot(self.gt_poses[:, 0], self.gt_poses[:, 2], "--",
+                    c="#2e7d32", lw=1.0, label="GT camera")
         if show_humans:
             for tid, traj in self.map.trajectories.items():
                 if optimized_only and not traj.optimized:
@@ -60,6 +95,15 @@ class Viewer:
                 centers = np.asarray([hp.joints_w[1] for hp in traj.poses])
                 ax.plot(centers[:, 0], centers[:, 2], "-o", ms=2, lw=1,
                         color=col, label=f"human {tid}")
+                if show_motion and traj.optimized and len(centers):
+                    # constant-velocity motion arrow per trajectory
+                    # (MapDrawer::DrawMotion, reference MapDrawer.cc:445-461)
+                    v = traj.motion_t
+                    c0 = centers[-1]
+                    ax.annotate("", xy=(c0[0] + v[0], c0[2] + v[2]),
+                                xytext=(c0[0], c0[2]),
+                                arrowprops=dict(arrowstyle="->", color=col,
+                                                lw=1.5))
         ax.set_xlabel("x [m]")
         ax.set_ylabel("z [m]")
         ax.set_aspect("equal")

@@ -6,7 +6,11 @@ from airdos_tpu.geometry.se3 import se3_exp, se3_apply
 from airdos_tpu.solvers.local_ba import local_bundle_adjust
 
 
-def make_problem(rng, C=6, P=120, noise=0.3, n_fixed=2):
+def make_problem(rng, C=6, P=120, noise=0.1, n_fixed=2):
+    # noise=0.1 px: the statistical floor of this geometry (f64 scipy LM
+    # run to ftol 1e-12) is ~0.022 median point error, so the 0.03
+    # assertion below genuinely tests solver convergence.  At noise=0.3
+    # the floor is 0.065 — above the threshold — so any solver would fail.
     fx = fy = 400.0
     cx, cy = 160.0, 120.0
     bf = 80.0

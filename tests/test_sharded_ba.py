@@ -1,0 +1,65 @@
+"""Multi-chip sharded BA: full LM protocol over an 8-device mesh matches
+the single-chip solver (conftest forces an 8-device CPU platform)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from airdos_tpu.geometry.se3 import se3_exp
+from airdos_tpu.parallel.sharded_ba import (
+    make_mesh, sharded_local_bundle_adjust)
+from airdos_tpu.solvers.local_ba import local_bundle_adjust
+
+from test_local_ba import make_problem
+
+
+def test_sharded_matches_single_chip(rng):
+    fx, fy, cx, cy, bf, pts_gt, cams, e_cam, e_pt, e_obs = make_problem(
+        rng, C=4, P=48)
+    C, P, E = len(cams), len(pts_gt), len(e_cam)
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+
+    cam_R = np.stack([c[0] for c in cams])
+    cam_t = np.stack([c[1] for c in cams])
+    fixed = np.zeros(C, bool)
+    fixed[:2] = True
+    cam_R_n = cam_R.copy()
+    cam_t_n = cam_t.copy()
+    for c in range(2, C):
+        dR, dt = se3_exp(jnp.asarray(np.concatenate(
+            [rng.normal(0, 0.03, 3), rng.normal(0, 0.01, 3)]).astype(np.float32)))
+        cam_R_n[c] = np.asarray(dR) @ cam_R[c]
+        cam_t_n[c] = np.asarray(dR) @ cam_t[c] + np.asarray(dt)
+    pts_n = pts_gt + rng.normal(0, 0.05, pts_gt.shape).astype(np.float32)
+
+    # pad edge tables to a multiple of the mesh size
+    E_pad = ((E + n_dev - 1) // n_dev) * n_dev
+    pad = E_pad - E
+    e_cam_p = np.concatenate([e_cam, np.zeros(pad, np.int32)])
+    e_pt_p = np.concatenate([e_pt, np.zeros(pad, np.int32)])
+    e_obs_p = np.concatenate([e_obs, np.zeros((pad, 3), np.float32)])
+    e_info_p = np.concatenate([np.ones(E, np.float32), np.zeros(pad, np.float32)])
+    e_valid_p = np.concatenate([np.ones(E, bool), np.zeros(pad, bool)])
+
+    args = (jnp.asarray(cam_R_n), jnp.asarray(cam_t_n), jnp.asarray(fixed),
+            jnp.asarray(pts_n), jnp.ones(P, bool),
+            jnp.asarray(e_cam_p), jnp.asarray(e_pt_p), jnp.asarray(e_obs_p),
+            jnp.asarray(e_info_p), jnp.asarray(e_valid_p))
+
+    single = local_bundle_adjust(*args, fx, fy, cx, cy, bf,
+                                 iters1=4, iters2=6)
+    mesh = make_mesh(n_dev)
+    sharded = sharded_local_bundle_adjust(mesh, iters1=4, iters2=6)(
+        *args, fx, fy, cx, cy, bf)
+
+    np.testing.assert_allclose(np.asarray(sharded.R),
+                               np.asarray(single.R), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sharded.t),
+                               np.asarray(single.t), atol=2e-3)
+    perr_s = np.linalg.norm(np.asarray(sharded.points) - pts_gt, axis=1)
+    perr_1 = np.linalg.norm(np.asarray(single.points) - pts_gt, axis=1)
+    assert np.median(perr_s) < 0.05
+    assert abs(np.median(perr_s) - np.median(perr_1)) < 0.01
+    # inlier classification identical up to numeric jitter
+    agree = (np.asarray(sharded.edge_inlier) == np.asarray(single.edge_inlier))
+    assert agree.mean() > 0.98
