@@ -12,7 +12,8 @@ TPU-first redesign:
   ORBextractor.cc:541-765) is replaced by a shape-static equivalent:
   3x3 NMS, then best-corner-per-cell on a fixed grid sized to ~2x the level
   quota, then global top-K — same spatial-spread intent, fixed shapes.
-- Orientation moments are dense convolutions gathered at keypoints.
+- Orientation moments are per-keypoint patch gathers contracted with the
+  circular-moment kernels (dense single-channel convs don't tile on TPU).
 - All levels are processed inside one jit; output is exactly n_features
   padded slots with a validity mask.
 """
@@ -28,7 +29,7 @@ import numpy as np
 from airdos_tpu.ops.brief import compute_descriptors, pack_u32
 from airdos_tpu.ops.fast import fast_score_map, nms_strict
 from airdos_tpu.ops.filters import gaussian_blur7
-from airdos_tpu.ops.orientation import ic_angle_maps, sample_angles
+from airdos_tpu.ops.orientation import keypoint_angles
 from airdos_tpu.ops.pyramid import build_pyramid, level_shapes
 
 # Keypoint coordinates live in [EDGE, dim - EDGE) at each level, like the
@@ -156,8 +157,7 @@ class OrbExtractor:
             xs, ys, resp = _select_level_keypoints(
                 score, quota, cell, self.ini_th, self.min_th)
 
-            m10, m01 = ic_angle_maps(im)
-            ang = sample_angles(m10, m01, xs, ys)
+            ang = keypoint_angles(im, xs, ys)
             blurred = gaussian_blur7(im)
             desc = compute_descriptors(blurred, xs, ys, ang)
 

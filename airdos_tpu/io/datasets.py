@@ -145,11 +145,42 @@ class KittiStereoSequence(TartanAirStereoSequence):
                          start=start, end=end)
 
 
+def read_opencv_yaml_matrices(path: str | Path) -> dict:
+    """Parse a cv::FileStorage YAML's !!opencv-matrix nodes (and scalar
+    keys) — enough for the reference EuRoC.yaml rectification blocks
+    (LEFT.K / LEFT.D / LEFT.R / LEFT.P and RIGHT.*)."""
+    import re
+    text = Path(path).read_text()
+    out: dict = {}
+    # scalars
+    for m in re.finditer(r"^([A-Za-z0-9_.]+):\s*([-0-9.eE+]+)\s*$", text,
+                         re.MULTILINE):
+        try:
+            v = float(m.group(2))
+            out[m.group(1)] = int(v) if v == int(v) else v
+        except ValueError:
+            pass
+    # matrices: KEY: !!opencv-matrix \n rows.. cols.. dt.. data: [ ... ]
+    pat = re.compile(
+        r"^([A-Za-z0-9_.]+):\s*!!opencv-matrix\s*\n"
+        r"\s*rows:\s*(\d+)\s*\n\s*cols:\s*(\d+)\s*\n\s*dt:\s*\w+\s*\n"
+        r"\s*data:\s*\[([^\]]*)\]", re.MULTILINE)
+    for m in pat.finditer(text):
+        rows, cols = int(m.group(2)), int(m.group(3))
+        data = np.asarray([float(x) for x in m.group(4).replace("\n", " ")
+                           .split(",") if x.strip()])
+        out[m.group(1)] = data.reshape(rows, cols)
+    return out
+
+
 class EurocStereoSequence:
     """EuRoC MAV layout (reference: stereo_euroc.cc): mav0/cam0/data +
-    timestamp filenames in ns, images need rectification from yaml."""
+    timestamp filenames in ns; raw images are undistorted + rectified with
+    the LEFT.*/RIGHT.* calibration blocks (stereo_euroc.cc:71-107) when a
+    settings YAML is given."""
 
     def __init__(self, root: str | Path, timestamps_file: str | Path,
+                 settings_yaml: Optional[str | Path] = None,
                  start: int = 0, end: int = 0):
         self.root = Path(root)
         ts_ns = [int(l.strip()) for l in Path(timestamps_file).read_text().splitlines()
@@ -158,9 +189,37 @@ class EurocStereoSequence:
         self.timestamps = [t / 1e9 for t in ts_ns]
         self.start = start
         self.end = end if end > 0 else len(self.timestamps)
+        self._maps = None
+        if settings_yaml is not None:
+            self._build_rectify_maps(settings_yaml)
+
+    def _build_rectify_maps(self, settings_yaml):
+        import cv2
+        c = read_opencv_yaml_matrices(settings_yaml)
+        need = ["LEFT.K", "LEFT.D", "LEFT.R", "LEFT.P",
+                "RIGHT.K", "RIGHT.D", "RIGHT.R", "RIGHT.P"]
+        if not all(k in c for k in need):
+            raise ValueError(
+                f"{settings_yaml} lacks rectification blocks {need} "
+                f"(reference stereo_euroc.cc:81-86 aborts the same way)")
+        rows = int(c.get("LEFT.height", 480))
+        cols = int(c.get("LEFT.width", 752))
+        self._maps = []
+        for side in ("LEFT", "RIGHT"):
+            m1, m2 = cv2.initUndistortRectifyMap(
+                c[f"{side}.K"], c[f"{side}.D"], c[f"{side}.R"],
+                c[f"{side}.P"][:3, :3], (cols, rows), cv2.CV_32F)
+            self._maps.append((m1, m2))
 
     def __len__(self):
         return self.end - self.start
+
+    def _rectify(self, im, side: int):
+        if im is None or self._maps is None:
+            return im
+        import cv2
+        m1, m2 = self._maps[side]
+        return cv2.remap(im, m1, m2, cv2.INTER_LINEAR)
 
     def __getitem__(self, i: int) -> FrameData:
         import cv2
@@ -168,6 +227,8 @@ class EurocStereoSequence:
                          cv2.IMREAD_GRAYSCALE)
         imR = cv2.imread(str(self.root / "mav0/cam1/data" / (self.names[i] + ".png")),
                          cv2.IMREAD_GRAYSCALE)
+        imL = self._rectify(imL, 0)
+        imR = self._rectify(imR, 1)
         return FrameData(timestamp=self.timestamps[i], index=i,
                          image_left=None if imL is None else imL.astype(np.float32),
                          image_right=None if imR is None else imR.astype(np.float32))

@@ -80,16 +80,32 @@ class SyntheticStereoWorld:
     def __init__(self, seed: int = 0, n_points: int = 12000,
                  cam: Optional[CameraConfig] = None,
                  n_humans: int = 0,
-                 world_size: Tuple[float, float, float] = (24.0, 8.0, 40.0)):
+                 world_size: Tuple[float, float, float] = (24.0, 8.0, 40.0),
+                 centered: bool = False):
+        """centered=True scatters landmarks/billboards all around the
+        origin (for closed-loop trajectories); default is a corridor
+        along +z (forward-motion sequences)."""
         self.rng = np.random.default_rng(seed)
         self.cam = cam or default_camera()
+        self.centered = centered
         wx, wy, wz = world_size
-        # static landmarks in a corridor along +z
-        self.points = np.stack([
-            self.rng.uniform(-wx / 2, wx / 2, n_points),
-            self.rng.uniform(-wy / 2, wy / 2, n_points),
-            self.rng.uniform(0.5, min(wz, 25.0), n_points),
-        ], axis=1)
+        if centered:
+            self.points = np.stack([
+                self.rng.uniform(-wx / 2, wx / 2, n_points),
+                self.rng.uniform(-wy / 2, wy / 2, n_points),
+                self.rng.uniform(-wz / 2, wz / 2, n_points),
+            ], axis=1)
+        else:
+            # static landmarks in a corridor along +z; depth quadratically
+            # biased toward close range so a moving camera always sees
+            # well-constrained (<~9 m) structure, like real street scenes —
+            # a uniform-depth world leaves stereo z almost unconstrained
+            zmax = min(wz, 25.0)
+            self.points = np.stack([
+                self.rng.uniform(-wx / 2, wx / 2, n_points),
+                self.rng.uniform(-wy / 2, wy / 2, n_points),
+                0.5 + (zmax - 0.5) * self.rng.uniform(0, 1, n_points) ** 2,
+            ], axis=1)
         self.intensity = self.rng.uniform(60, 255, n_points)
         # physical dot radius (m) -> projected size scales with 1/depth, so
         # feature appearance is scale-consistent across the pyramid
@@ -106,19 +122,32 @@ class SyntheticStereoWorld:
         # fronto-parallel textured billboards at mixed depths: the main
         # source of high-quality stereo matches (ground/wall patches shear
         # between the stereo views; these don't)
+        # billboard = (axis, a0, y0, c0, bw, bh, seed): a plane with normal
+        # along `axis` (0 = x-plane, 2 = z-plane) at coordinate c0; (a0, y0)
+        # is the patch centre in the in-plane axes
         self.billboards = []
-        for k in range(60):
-            z0 = self.rng.uniform(2.5, 28.0)
-            x0 = self.rng.uniform(-0.45, 0.45) * (2.0 + z0 * 0.8)
-            # keep near-range billboards clear of the camera corridor so the
-            # view never degenerates to one giant close plane
-            if z0 < 9.0 and abs(x0) < 1.2:
-                x0 = np.sign(x0 or 1.0) * (1.2 + abs(x0))
-            y0 = self.rng.uniform(-0.6, 1.0)
-            bw = self.rng.uniform(0.5, 1.6)
-            bh = self.rng.uniform(0.5, 1.6)
-            self.billboards.append((x0, y0, z0, bw, bh, 100 + k))
-        self.billboards.sort(key=lambda b: -b[2])   # far to near
+        if centered:
+            for k in range(120):
+                axis = 2 if k % 2 == 0 else 0
+                c0 = self.rng.uniform(2.0, wz / 2) * self.rng.choice([-1, 1])
+                a0 = self.rng.uniform(-wx / 2, wx / 2)
+                y0 = self.rng.uniform(-0.6, 1.0)
+                bw = self.rng.uniform(0.6, 1.8)
+                bh = self.rng.uniform(0.6, 1.8)
+                self.billboards.append((axis, a0, y0, c0, bw, bh, 100 + k))
+        else:
+            for k in range(60):
+                z0 = self.rng.uniform(2.5, 28.0)
+                x0 = self.rng.uniform(-0.45, 0.45) * (2.0 + z0 * 0.8)
+                # keep near-range billboards clear of the camera corridor so
+                # the view never degenerates to one giant close plane
+                if z0 < 9.0 and abs(x0) < 1.2:
+                    x0 = np.sign(x0 or 1.0) * (1.2 + abs(x0))
+                y0 = self.rng.uniform(-0.6, 1.0)
+                bw = self.rng.uniform(0.5, 1.6)
+                bh = self.rng.uniform(0.5, 1.6)
+                self.billboards.append((2, x0, y0, z0, bw, bh, 100 + k))
+        self.billboards.sort(key=lambda b: -abs(b[3]))   # far to near
         self.humans: List[SyntheticHuman] = []
         for k in range(n_humans):
             pos = np.array([self.rng.uniform(-3, 3), 0.0, self.rng.uniform(6, 14)])
@@ -192,7 +221,14 @@ class SyntheticStereoWorld:
             scale = base * np.exp2(np.clip(k, 0, 7))
         xi = np.floor(x / scale).astype(np.int64)
         zi = np.floor(z / scale).astype(np.int64)
-        out += 0.6 * hashed(xi, zi, 9)
+        out += 0.45 * hashed(xi, zi, 9)
+        # mid-frequency octave (4x the sharp blocks, same mip logic) breaks
+        # the equal-size block lattice's self-similarity: a descriptor patch
+        # spanning a few sharp blocks also sees a distinctive larger block,
+        # so sliding one block over no longer looks identical
+        xi4 = np.floor(x / (4 * scale)).astype(np.int64)
+        zi4 = np.floor(z / (4 * scale)).astype(np.int64)
+        out += 0.3 * hashed(xi4, zi4, 5)
         # smooth low-frequency octave for shading variety
         s = 2.0
         xs, zs = x / s, z / s
@@ -202,11 +238,29 @@ class SyntheticStereoWorld:
         fz_ = fz_ * fz_ * (3 - 2 * fz_)
         n00, n10 = hashed(xi, zi, 0), hashed(xi + 1, zi, 0)
         n01, n11 = hashed(xi, zi + 1, 0), hashed(xi + 1, zi + 1, 0)
-        out += 0.4 * ((n00 * (1 - fx_) + n10 * fx_) * (1 - fz_) +
-                      (n01 * (1 - fx_) + n11 * fx_) * fz_)
+        out += 0.25 * ((n00 * (1 - fx_) + n10 * fx_) * (1 - fz_) +
+                       (n01 * (1 - fx_) + n11 * fx_) * fz_)
         return out
 
-    def _render_view(self, Rcw, tcw, ss: int = 2, return_depth: bool = False):
+    def _human_segments(self, Rcw, tcw, t: float):
+        """Projected limb segments of every visible human at time t:
+        [(u1, v1, u2, v2, z_mean, thickness_px, seed)] in level-0 coords."""
+        segs = []
+        for hu in self.humans:
+            joints = hu.joints_at(t)
+            u, v, z = self._project(Rcw, tcw, joints)
+            if (z < 0.5).any():
+                continue
+            for s in range(N_PARTS):
+                a, b = int(BODY1[s]), int(BODY2[s])
+                thick = self.cam.fx * 0.06 / max(float(z[a]), 0.5)
+                segs.append((u[a], v[a], u[b], v[b],
+                             0.5 * (z[a] + z[b]), thick,
+                             137 + 31 * s + 97 * hu.track_id))
+        return segs
+
+    def _render_view(self, Rcw, tcw, ss: int = 2, return_depth: bool = False,
+                     human_segments=None):
         """Render with ss x supersampling + box downsample (anti-aliasing:
         aliased edges decorrelate the stereo views at sub-pixel disparities
         and poison descriptor matching).  return_depth also returns the
@@ -246,26 +300,69 @@ class SyntheticStereoWorld:
         tex_w = self._value_noise(px, py, seed=11, footprint=footprint)
         shade = 40 + 180 * np.where(is_ground, tex_g, tex_w)
         img = np.where(valid, shade, img)
-        zbuf = np.where(valid, tc * d_w[..., 2], np.inf)
+        # zbuf stores the ray parameter t, which IS the camera depth
+        # (d_cam has z-component 1); comparing t*d_w_z instead would flip
+        # the z-test wherever the world ray points to -z (backward views)
+        zbuf = np.where(valid, tc, np.inf)
 
-        # billboards (z = const planes), far to near, z-buffered
-        for (x0, y0, z0, bw, bh, seed) in self.billboards:
-            tb = np.where(np.abs(dz) > 1e-6, (z0 - ow[2]) / np.where(np.abs(dz) > 1e-6, dz, 1.0), np.inf)
-            okb = (tb > 0.05) & (tb * d_w[..., 2] < zbuf - 1e-6)
-            bx = ow[0] + tb * d_w[..., 0]
-            by = ow[1] + tb * d_w[..., 1]
-            inside = okb & (np.abs(bx - x0) <= bw / 2) & (np.abs(by - y0) <= bh / 2)
+        # billboards (axis-aligned textured planes), far to near, z-buffered.
+        # Each billboard's 4 corners are projected first and computation is
+        # cropped to the pixel bbox — full-image passes per billboard made
+        # rendering the dominant host cost.
+        d_norm = None
+        for (axis, a0, y0, c0, bw, bh, seed) in self.billboards:
+            a_axis = 2 if axis == 0 else 0
+            corners = np.zeros((4, 3))
+            corners[:, axis] = c0
+            corners[:, a_axis] = [a0 - bw / 2, a0 + bw / 2,
+                                  a0 - bw / 2, a0 + bw / 2]
+            corners[:, 1] = [y0 - bh / 2, y0 - bh / 2,
+                             y0 + bh / 2, y0 + bh / 2]
+            cc = (Rcw @ corners.T).T + tcw
+            zc = cc[:, 2]
+            if (zc < 0.05).all():
+                continue
+            if (zc < 0.05).any():
+                u0, u1, v0, v1 = 0, w, 0, h      # crosses image plane: full
+            else:
+                uc = fx * cc[:, 0] / zc + cx
+                vc = fy * cc[:, 1] / zc + cy
+                u0 = max(0, int(np.floor(uc.min())) - 1)
+                u1 = min(w, int(np.ceil(uc.max())) + 2)
+                v0 = max(0, int(np.floor(vc.min())) - 1)
+                v1 = min(h, int(np.ceil(vc.max())) + 2)
+                if u0 >= u1 or v0 >= v1:
+                    continue
+            dw_c = d_w[v0:v1, u0:u1]
+            dn = dw_c[..., axis]
+            tb = np.where(np.abs(dn) > 1e-6,
+                          (c0 - ow[axis]) / np.where(np.abs(dn) > 1e-6, dn, 1.0),
+                          np.inf)
+            zb_c = zbuf[v0:v1, u0:u1]
+            okb = (tb > 0.05) & (tb < zb_c - 1e-6)
+            ba = ow[a_axis] + tb * dw_c[..., a_axis]
+            by = ow[1] + tb * dw_c[..., 1]
+            inside = okb & (np.abs(ba - a0) <= bw / 2) & (np.abs(by - y0) <= bh / 2)
             if not inside.any():
                 continue
-            fp = tb * np.linalg.norm(d_cam, axis=-1) / fx
-            tex = self._value_noise(bx, by, seed=seed, footprint=fp)
-            img = np.where(inside, 40 + 180 * tex, img)
-            zbuf = np.where(inside, tb * d_w[..., 2], zbuf)
+            if d_norm is None:
+                d_norm = np.linalg.norm(d_cam, axis=-1)
+            fp = tb * d_norm[v0:v1, u0:u1] / fx
+            tex = self._value_noise(ba, by, seed=seed, footprint=fp)
+            img[v0:v1, u0:u1] = np.where(inside, 40 + 180 * tex,
+                                         img[v0:v1, u0:u1])
+            zbuf[v0:v1, u0:u1] = np.where(inside, tb, zb_c)
         img = np.clip(img, 0, 255)
+        # project with the supersampled intrinsics (u_ss = ss * u): drawing
+        # level-0 coords on the ss canvas would place dots at half position,
+        # putting them in a geometrically inconsistent world vs the raycast
+        # surfaces (2x-wrong disparity/parallax)
         u, v, z = self._project(Rcw, tcw, self.points)
+        u, v = u * ss, v * ss
         r_px = fx * self.phys_radius / np.maximum(z, 1e-3)
         ok = (z > 0.3) & (u >= -8) & (u < w + 8) & (v >= -8) & (v < h + 8) & (r_px >= 0.8)
         us, vs, zs = self._project(Rcw, tcw, self.points + self.sat_offset)
+        us, vs = us * ss, vs * ss
         order = np.argsort(-z[ok])       # far first so near dots overwrite
         idx = np.nonzero(ok)[0][order]
         for i in idx:
@@ -279,6 +376,35 @@ class SyntheticStereoWorld:
                            float(z[i]), -1)
                 cv2.circle(zbuf, (int(round(us[i])), int(round(vs[i]))),
                            max(1, r // 2), float(zs[i]), -1)
+        # dynamic humans: textured limb capsules drawn over everything nearer
+        # than the current zbuf (they occlude and carry trackable texture, so
+        # an unmasked static pipeline picks up moving features — the dynamic-
+        # scene failure mode AirDOS exists to fix)
+        if human_segments:
+            for (u1, v1, u2, v2, zseg, thick, seed) in human_segments:
+                p1 = (int(round(u1 * ss)), int(round(v1 * ss)))
+                p2 = (int(round(u2 * ss)), int(round(v2 * ss)))
+                mseg = np.zeros(img.shape, np.uint8)
+                cv2.line(mseg, p1, p2, 1,
+                         max(1, int(round(thick * ss))))
+                sel = (mseg > 0) & (zseg < zbuf)
+                if not sel.any():
+                    continue
+                # texture in the limb's own coordinates (fraction along the
+                # bone x signed offset across it): identical in both stereo
+                # views and stable while the limb moves, so the unmasked
+                # static pipeline tracks these features frame to frame —
+                # the dynamic-scene poison AirDOS exists to handle
+                ys_, xs_ = np.nonzero(sel)
+                dx, dy_ = (u2 - u1) * ss, (v2 - v1) * ss
+                L2 = max(dx * dx + dy_ * dy_, 1e-6)
+                along = ((xs_ - p1[0]) * dx + (ys_ - p1[1]) * dy_) / L2
+                across = ((xs_ - p1[0]) * -dy_ + (ys_ - p1[1]) * dx) / np.sqrt(L2)
+                tex = self._value_noise(along * 0.5, across * 0.01 + 0.02,
+                                        seed=seed)
+                img[ys_, xs_] = 50 + 160 * tex
+                zbuf = np.where(sel, zseg, zbuf)
+
         out = img.astype(np.float32)
         if ss > 1:
             out = out.reshape(self.cam.height, ss, self.cam.width, ss).mean(axis=(1, 3))
@@ -306,14 +432,18 @@ class SyntheticStereoWorld:
         ground-truth z-buffer (for the RGB-D / IsGroundTruthDepth path)."""
         Rcw, tcw = self.camera_pose_cw(Rwc, twc)
         b = self.cam.baseline
+        tcw_r = tcw - np.array([b, 0, 0])   # right cam: +b along camera x
+        segsL = segsR = None
+        if with_humans and self.humans:
+            segsL = self._human_segments(Rcw, tcw, timestamp)
+            segsR = self._human_segments(Rcw, tcw_r, timestamp)
         depthL = None
         if with_depth:
-            imL, depthL = self._render_view(Rcw, tcw, return_depth=True)
+            imL, depthL = self._render_view(Rcw, tcw, return_depth=True,
+                                            human_segments=segsL)
         else:
-            imL = self._render_view(Rcw, tcw)
-        # right camera: offset +b along camera x  => tcw_r = tcw - [b,0,0]
-        tcw_r = tcw - np.array([b, 0, 0])
-        imR = self._render_view(Rcw, tcw_r)
+            imL = self._render_view(Rcw, tcw, human_segments=segsL)
+        imR = self._render_view(Rcw, tcw_r, human_segments=segsR)
 
         humans_l = humans_r = tids = None
         seg_l = seg_r = None
@@ -360,8 +490,10 @@ class SyntheticStereoWorld:
                          humans_left=humans_l, humans_right=humans_r,
                          track_ids=tids)
 
-    def sequence(self, n_frames: int, dt: float = 0.1, **kw):
+    def sequence(self, n_frames: int, dt: float = 0.1,
+                 speed: float = 0.5, yaw_rate: float = 0.02, **kw):
         """Yield (FrameData, Rwc, twc) over a default trajectory."""
-        Rwc, twc = self.trajectory(n_frames, dt)
+        Rwc, twc = self.trajectory(n_frames, dt, speed=speed,
+                                   yaw_rate=yaw_rate)
         for i in range(n_frames):
             yield self.frame(i, Rwc[i], twc[i], i * dt, **kw), Rwc[i], twc[i]

@@ -50,10 +50,22 @@ def _gauss_kernel1d(ksize: int, sigma: float) -> np.ndarray:
 
 def gaussian_blur7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
     """Separable 7x7 Gaussian blur, BORDER_REFLECT_101 like the reference's
-    cv::GaussianBlur(image, 7, 7, 2, 2, BORDER_REFLECT_101)."""
-    k = jnp.asarray(_gauss_kernel1d(7, sigma))
-    tmp = _conv2d_same_reflect(img, k[None, :])
-    return _conv2d_same_reflect(tmp, k[:, None])
+    cv::GaussianBlur(image, 7, 7, 2, 2, BORDER_REFLECT_101).
+
+    Implemented as shift-and-add (7 fused multiply-adds per axis on the
+    VPU) instead of lax.conv: single-channel convolutions don't tile onto
+    the MXU and fall to a slow path on TPU."""
+    k = _gauss_kernel1d(7, sigma)
+    h, w = img.shape
+    p = jnp.pad(img, ((0, 0), (3, 3)), mode="reflect")
+    out = k[0] * p[:, 0:w]
+    for i in range(1, 7):
+        out = out + k[i] * p[:, i:i + w]
+    p = jnp.pad(out, ((3, 3), (0, 0)), mode="reflect")
+    out = k[0] * p[0:h, :]
+    for i in range(1, 7):
+        out = out + k[i] * p[i:i + h, :]
+    return out
 
 
 def erode(mask: jnp.ndarray, ksize: int = 10) -> jnp.ndarray:

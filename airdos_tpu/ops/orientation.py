@@ -55,7 +55,11 @@ def _moment_kernels() -> tuple:
 
 def ic_angle_maps(img: jnp.ndarray) -> tuple:
     """Dense moment maps (m10, m01), each [H, W] float32.
-    out[y, x] = sum over circular patch of weight * img[y+dy, x+dx]."""
+    out[y, x] = sum over circular patch of weight * img[y+dy, x+dx].
+
+    NOTE: single-channel 31x31 convolutions tile terribly on the MXU
+    (~100 ms/level on v5e) — prefer ``keypoint_angles`` which gathers
+    patches only at the (few hundred) keypoints."""
     k10, k01 = _moment_kernels()
     k = jnp.stack([jnp.asarray(k10), jnp.asarray(k01)])[:, None]   # [2,1,31,31]
     x = img[None, None]
@@ -72,4 +76,26 @@ def sample_angles(m10_map: jnp.ndarray, m01_map: jnp.ndarray,
     m10 = m10_map[ys, xs]
     m01 = m01_map[ys, xs]
     ang = jnp.degrees(jnp.arctan2(m01, m10))
+    return jnp.where(ang < 0, ang + 360.0, ang)
+
+
+def keypoint_angles(img: jnp.ndarray, xs: jnp.ndarray,
+                    ys: jnp.ndarray) -> jnp.ndarray:
+    """IC angles computed only at keypoints: gather each 31x31 patch and
+    contract with the moment kernels (N x 961 MACs — vanishing next to a
+    dense conv, and it lowers to gathers + one small einsum).
+
+    Keypoints are guaranteed >= MIN_BORDER=16 > HALF_PATCH from the image
+    edge by the extractor; padded slots (xs=ys=0) produce garbage angles
+    that are masked by the validity flags downstream."""
+    k10, k01 = _moment_kernels()
+    size = 2 * HALF_PATCH + 1
+    h, w = img.shape
+    dy = jnp.arange(-HALF_PATCH, HALF_PATCH + 1)
+    gy = jnp.clip(ys[:, None] + dy[None, :], 0, h - 1)           # [N, 31]
+    gx = jnp.clip(xs[:, None] + dy[None, :], 0, w - 1)           # [N, 31]
+    patch = img[gy[:, :, None], gx[:, None, :]]                  # [N, 31, 31]
+    kk = jnp.stack([jnp.asarray(k10), jnp.asarray(k01)])         # [2, 31, 31]
+    m = jnp.einsum("nij,kij->nk", patch, kk)                     # [N, 2]
+    ang = jnp.degrees(jnp.arctan2(m[:, 1], m[:, 0]))
     return jnp.where(ang < 0, ang + 360.0, ang)

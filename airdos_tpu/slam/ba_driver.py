@@ -42,14 +42,17 @@ class StaticLocalBA:
     def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor):
         self.config = config
         self.map = slam_map
+        self.profiler = None
         cam = config.camera
         self.fx, self.fy, self.cx, self.cy, self.bf = \
             cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
         self.inv_sigma2 = (1.0 / extractor.sigma2).astype(np.float32)
         dev = config.device
-        self.C = dev.max_local_kfs + dev.max_fixed_kfs
+        self.max_cams = 128         # hard ceiling, reference has none
         self.P = dev.max_local_points
         self.E = dev.max_ba_edges
+        self._cb = _StickyBucket(dev.max_local_kfs + dev.max_fixed_kfs,
+                                 self.max_cams)
         self._pb = _StickyBucket(1024, self.P)
         self._eb = _StickyBucket(4096, self.E)
         self._jit = jax.jit(local_bundle_adjust)
@@ -73,6 +76,10 @@ class StaticLocalBA:
         point_ids = point_ids[: self.P]
         pset = set(point_ids)
 
+        # fixed observers: ALL keyframes seeing a window point but not in
+        # the window itself anchor the problem (reference Optimizer.cc:
+        # 506-527 lFixedCameras has no cap; capping drops constraints and
+        # lets window points drift to fit recent drifted keyframes)
         fixed_ids: List[int] = []
         fset = set()
         for p in point_ids:
@@ -80,8 +87,13 @@ class StaticLocalBA:
                 if kid not in local_set and kid not in fset and not m.kfs[kid].bad:
                     fset.add(kid)
                     fixed_ids.append(kid)
-        fixed_ids = fixed_ids[: self.config.device.max_fixed_kfs]
-        fset = set(fixed_ids)
+        max_fixed = self.max_cams - len(local_ids)
+        if len(fixed_ids) > max_fixed:
+            import warnings
+            warnings.warn(f"StaticLocalBA: {len(fixed_ids)} fixed observers, "
+                          f"keeping {max_fixed}")
+            fixed_ids = fixed_ids[: max_fixed]
+            fset = set(fixed_ids)
 
         cam_ids = local_ids + fixed_ids
         cam_index = {kid: i for i, kid in enumerate(cam_ids)}
@@ -89,7 +101,7 @@ class StaticLocalBA:
         if n_cam < 2 or len(point_ids) < 10:
             return
 
-        C = self.C
+        C = self._cb.fit(n_cam)
         P = self._pb.fit(len(point_ids))
         point_ids = point_ids[:P]
         n_edges_est = sum(len(pt.obs[p]) for p in point_ids)
@@ -131,30 +143,28 @@ class StaticLocalBA:
                 e_ref.append((p, kid, fid))
                 n_e += 1
 
-        res = self._jit(jnp.asarray(cam_R), jnp.asarray(cam_t),
-                        jnp.asarray(cam_fixed),
-                        jnp.asarray(pts), jnp.asarray(pvalid),
-                        jnp.asarray(e_cam), jnp.asarray(e_pt),
-                        jnp.asarray(e_obs), jnp.asarray(e_info),
-                        jnp.asarray(e_valid),
-                        self.fx, self.fy, self.cx, self.cy, self.bf)
+        from airdos_tpu.utils.obs import span
+        with span(self.profiler, "ba.solve"):
+            res = self._jit(jnp.asarray(cam_R), jnp.asarray(cam_t),
+                            jnp.asarray(cam_fixed),
+                            jnp.asarray(pts), jnp.asarray(pvalid),
+                            jnp.asarray(e_cam), jnp.asarray(e_pt),
+                            jnp.asarray(e_obs), jnp.asarray(e_info),
+                            jnp.asarray(e_valid),
+                            self.fx, self.fy, self.cx, self.cy, self.bf)
+            R_out, t_out, pts_out, inlier = jax.device_get(
+                (res.R, res.t, res.points, res.edge_inlier))
 
-        R_out = np.asarray(res.R)
-        t_out = np.asarray(res.t)
-        pts_out = np.asarray(res.points)
-        inlier = np.asarray(res.edge_inlier)
-
-        for kid, i in cam_index.items():
-            if not cam_fixed[i]:
-                m.kfs[kid].set_pose(R_out[i], t_out[i])
-        pt.pos[point_ids] = pts_out[:len(point_ids)]
-        # erase outlier observations
-        for i, (p, kid, fid) in enumerate(e_ref):
-            if e_valid[i] and not inlier[i]:
-                m.erase_observation(p, kid)
-        for p in point_ids:
-            if not pt.bad[p]:
-                m.update_point_normal_depth(p)
+        with span(self.profiler, "ba.writeback"):
+            for kid, i in cam_index.items():
+                if not cam_fixed[i]:
+                    m.kfs[kid].set_pose(R_out[i], t_out[i])
+            pt.pos[point_ids] = pts_out[:len(point_ids)]
+            # erase outlier observations
+            for i, (p, kid, fid) in enumerate(e_ref):
+                if e_valid[i] and not inlier[i]:
+                    m.erase_observation(p, kid)
+            m.update_points_normal_depth(point_ids)
 
 
 class Triangulator:
@@ -213,6 +223,7 @@ class Triangulator:
         valid_b, idx2_b, X_b = jax.device_get((res.valid, res.idx2, res.points))
 
         created_total = 0
+        created_pids = []
         for b, nkf in enumerate(neighbors):
             valid = valid_b[b]
             idx2 = idx2_b[b]
@@ -227,9 +238,10 @@ class Triangulator:
                 pid = int(m.create_points(kf, np.asarray([fid]), X[fid][None])[0])
                 m.add_observation(pid, nkf, f2)
                 m.update_point_descriptor(pid)
-                m.update_point_normal_depth(pid)
+                created_pids.append(pid)
                 self.local_mapper.recent_points.append(pid)
                 created_total += 1
+        m.update_points_normal_depth(created_pids)
         return created_total
 
 
@@ -292,6 +304,7 @@ class Fuser:
                         jnp.asarray(self.scale_factors), jnp.asarray(self.sigma2),
                         self.log_scale, self.n_levels)
         feat_idx = np.asarray(res.feat_idx)
+        touched = []
         for i in range(n):
             fid = int(feat_idx[i])
             if fid < 0:
@@ -307,12 +320,15 @@ class Fuser:
                 # point with more observations survives
                 if prefer_candidates or pt.n_obs[pid] >= pt.n_obs[existing]:
                     m.replace_point(existing, pid)
+                    touched.append(pid)
                 else:
                     m.replace_point(pid, existing)
+                    touched.append(existing)
             else:
                 m.add_observation(pid, target, fid)
                 m.update_point_descriptor(pid)
-                m.update_point_normal_depth(pid)
+                touched.append(pid)
+        m.update_points_normal_depth(touched)
 
     def _fuse_into_batch(self, point_ids: List[int], targets: List[KeyFrame]):
         """Fuse one candidate set into several target KFs — one dispatch."""
@@ -337,8 +353,19 @@ class Fuser:
         maxd[:n] = pt.max_dist[ids]
         valid[:n] = True
 
-        def stack(fn):
-            return jnp.asarray(np.stack([fn(t) for t in targets]))
+        # pad the target batch to a FIXED size so the vmapped program
+        # compiles once (a per-target-count variant caused a recompile
+        # nearly every keyframe); padded slots get valid=False features
+        B = self.max_targets
+        n_t = len(targets)
+        pad = targets + [targets[0]] * (B - n_t)
+
+        def stack(fn, zero_pad=False):
+            rows = [fn(t) for t in pad]
+            if zero_pad:
+                for b in range(n_t, B):
+                    rows[b] = np.zeros_like(rows[b])
+            return jnp.asarray(np.stack(rows))
 
         res = self._jit_batch(
             jnp.asarray(xw), jnp.asarray(desc), jnp.asarray(valid),
@@ -347,12 +374,13 @@ class Fuser:
             stack(lambda t: t.Ow),
             stack(lambda t: t.xy_un), stack(lambda t: t.u_right),
             stack(lambda t: t.octave), stack(lambda t: t.desc32),
-            stack(lambda t: t.valid),
+            stack(lambda t: t.valid, zero_pad=True),
             self.fx, self.fy, self.cx, self.cy, self.bf,
             self.width, self.height,
             jnp.asarray(self.scale_factors), jnp.asarray(self.sigma2),
             self.log_scale, self.n_levels, 3.0)
         feat_idx_b = np.asarray(res.feat_idx)
+        touched = []
         for b, target in enumerate(targets):
             feat_idx = feat_idx_b[b]
             for i in range(n):
@@ -366,12 +394,15 @@ class Fuser:
                 if existing >= 0 and not pt.bad[existing]:
                     if pt.n_obs[existing] > pt.n_obs[pid]:
                         m.replace_point(pid, existing)
+                        touched.append(existing)
                     else:
                         m.replace_point(existing, pid)
+                        touched.append(pid)
                 else:
                     m.add_observation(pid, target, fid)
                     m.update_point_descriptor(pid)
-                    m.update_point_normal_depth(pid)
+                    touched.append(pid)
+        m.update_points_normal_depth(touched)
 
     def __call__(self, kf: KeyFrame, n_neighbors: int = 10):
         m = self.map
@@ -400,12 +431,12 @@ class Fuser:
                     seen.add(p)
                     fuse_cand.append(p)
         self._fuse_into(fuse_cand, kf)
-        # refresh
-        for fid in np.nonzero(kf.mp_idx >= 0)[0]:
-            pid = int(kf.mp_idx[fid])
-            if not m.points.bad[pid]:
-                m.update_point_descriptor(pid)
-                m.update_point_normal_depth(pid)
+        # refresh (batched: this touches every point of the KF)
+        kf_pids = [int(p) for p in kf.mp_idx[kf.mp_idx >= 0]
+                   if not m.points.bad[int(p)]]
+        for pid in kf_pids:
+            m.update_point_descriptor(pid)
+        m.update_points_normal_depth(kf_pids)
         m.update_connections(kf)
 
 
@@ -426,7 +457,9 @@ class HumanLocalBA:
             cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
         self.inv_sigma2 = (1.0 / extractor.sigma2).astype(np.float32)
         dev = config.device
-        self.C = dev.max_local_kfs + dev.max_fixed_kfs
+        self.max_cams = 128
+        self._cb = _StickyBucket(dev.max_local_kfs + dev.max_fixed_kfs,
+                                 self.max_cams)
         self.P = dev.max_local_points
         self.E = dev.max_ba_edges
         self.T = dev.max_trajectories
@@ -459,6 +492,7 @@ class HumanLocalBA:
                     point_ids.append(p)
         point_ids = point_ids[: self.P]
 
+        # ALL outside observers anchor the problem (see StaticLocalBA)
         fixed_ids, fset = [], set()
         for p in point_ids:
             for kid in pt.obs[p]:
@@ -466,7 +500,7 @@ class HumanLocalBA:
                         kid in m.kfs and not m.kfs[kid].bad:
                     fset.add(kid)
                     fixed_ids.append(kid)
-        fixed_ids = fixed_ids[: dev.max_fixed_kfs]
+        fixed_ids = fixed_ids[: self.max_cams - len(local_ids)]
         fset = set(fixed_ids)
 
         cam_ids = local_ids + fixed_ids
@@ -485,7 +519,8 @@ class HumanLocalBA:
         if not trajs:
             return
 
-        C, P, E, T, L = self.C, self.P, self.E, self.T, self.L
+        C, P, E, T, L = self._cb.fit(len(cam_ids)), self.P, self.E, \
+            self.T, self.L
         cam_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
         cam_t = np.zeros((C, 3), np.float32)
         cam_fixed = np.ones(C, bool)

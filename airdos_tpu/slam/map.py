@@ -127,6 +127,7 @@ class KeyFrame:
         self.timestamp = frame.timestamp
         self.Rcw = frame.Rcw.copy()
         self.tcw = frame.tcw.copy()
+        self._ow = None
         f = frame
         self.xy = f.xy
         self.xy_un = f.xy_un
@@ -162,11 +163,18 @@ class KeyFrame:
 
     @property
     def Ow(self):
-        return -self.Rcw.T @ self.tcw
+        # cached: pose-dependent consumers (fuse/BA write-backs) read this
+        # thousands of times between pose updates
+        ow = self._ow
+        if ow is None:
+            ow = -self.Rcw.T @ self.tcw
+            self._ow = ow
+        return ow
 
     def set_pose(self, Rcw, tcw):
         self.Rcw = np.asarray(Rcw, np.float32).copy()
         self.tcw = np.asarray(tcw, np.float32).copy()
+        self._ow = None
 
     def best_covisible(self, k: int) -> List[int]:
         return self.ordered_covis[:k]
@@ -306,6 +314,55 @@ class SlamMap:
         dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
         med = np.sort(dist, axis=1)[:, (len(D) - 1) // 2]
         pt.desc32[pid] = D[int(np.argmin(med))]
+
+    def update_points_normal_depth(self, pids):
+        """Batched UpdateNormalAndDepth over many points: one pass collects
+        (point, observer-centre) pairs, one vectorized pass reduces them.
+        ~10x cheaper than per-point calls for BA/fuse write-backs."""
+        pt = self.points
+        pair_pid, pair_ow = [], []
+        ref_rows = []            # (pid, dist, octave)
+        ow_cache: Dict[int, np.ndarray] = {}
+        for p in pids:
+            p = int(p)
+            if pt.bad[p] or not pt.obs[p]:
+                continue
+            for kf_id in pt.obs[p]:
+                ow = ow_cache.get(kf_id)
+                if ow is None:
+                    kf = self.kfs.get(kf_id)
+                    if kf is None:
+                        continue
+                    ow = kf.Ow
+                    ow_cache[kf_id] = ow
+                pair_pid.append(p)
+                pair_ow.append(ow)
+            ref_id = int(pt.ref_kf[p])
+            ref = self.kfs.get(ref_id)
+            if ref is not None and ref_id in pt.obs[p]:
+                fid = pt.obs[p][ref_id]
+                ref_ow = ow_cache.get(ref_id)
+                if ref_ow is None:
+                    ref_ow = ref.Ow
+                d = float(np.linalg.norm(pt.pos[p] - ref_ow))
+                ref_rows.append((p, d, int(ref.octave[fid])))
+        if not pair_pid:
+            return
+        pair_pid = np.asarray(pair_pid)
+        d = pt.pos[pair_pid] - np.asarray(pair_ow)
+        n = np.linalg.norm(d, axis=1, keepdims=True)
+        d = d / np.maximum(n, 1e-9)
+        # segment-mean by pid
+        uniq, inv = np.unique(pair_pid, return_inverse=True)
+        sums = np.zeros((len(uniq), 3), np.float64)
+        np.add.at(sums, inv, d)
+        counts = np.bincount(inv)
+        pt.normal[uniq] = (sums / counts[:, None]).astype(np.float32)
+        if ref_rows:
+            ids = np.asarray([r[0] for r in ref_rows])
+            dists = np.asarray([r[1] for r in ref_rows])
+            octs = np.asarray([r[2] for r in ref_rows])
+            self._set_scale_invariance(ids, dists, octs)
 
     def update_point_normal_depth(self, pid: int):
         pt = self.points

@@ -76,6 +76,13 @@ class System:
         if use_viewer:
             from airdos_tpu.viz.viewer import Viewer
             self.viewer = Viewer(self.map, self.tracking)
+        # observability: per-stage host profiler + structured event log
+        # (AIRDOS_TRACE_DIR additionally enables jax.profiler device traces)
+        import os
+        from airdos_tpu.utils.obs import EventLog, Profiler
+        self.profiler = Profiler(trace_dir=os.environ.get("AIRDOS_TRACE_DIR"))
+        self.events = EventLog(path=os.environ.get("AIRDOS_EVENT_LOG"))
+        self.static_ba.profiler = self.profiler
 
     # ----------------------------------------------------------------- api
     def track_stereo(self, data: FrameData):
@@ -133,11 +140,15 @@ class System:
         body).  Runs inline in offline mode, or in the mapping worker thread
         in online mode (System.IsOffline=0), mirroring the reference's
         Tracking || LocalMapping threading (System.cc:87-96)."""
+        from airdos_tpu.utils.obs import span
         with self._map_lock:
             lm = self.local_mapper
-            lm.cull_map_points(prev_kf.id)
-            lm.create_new_points(prev_kf)
-            lm.fuse_neighbors(prev_kf)
+            with span(self.profiler, "map.cull_points"):
+                lm.cull_map_points(prev_kf.id)
+            with span(self.profiler, "map.triangulate"):
+                lm.create_new_points(prev_kf)
+            with span(self.profiler, "map.fuse"):
+                lm.fuse_neighbors(prev_kf)
             # reference: static LBA when IsStaticOnly; the human BA variant
             # (which also refines the static graph) replaces it otherwise.
             run_static = (self.config.optimizer.is_static_only
@@ -145,13 +156,17 @@ class System:
                           or not self.config.human.ok)
             if self.static_ba is not None and self.map.n_keyframes() > 2 \
                     and run_static:
-                self.static_ba(prev_kf)
-            lm.cull_keyframes(prev_kf)
-            self._maybe_train_vocabulary()
+                with span(self.profiler, "map.static_ba"):
+                    self.static_ba(prev_kf)
+            with span(self.profiler, "map.cull_kfs"):
+                lm.cull_keyframes(prev_kf)
+            with span(self.profiler, "map.vocab"):
+                self._maybe_train_vocabulary()
             if self.keyframe_db is not None and not prev_kf.bad:
                 if self.loop_closer is not None and \
                         self.config.loop_closing_active:
-                    self.loop_closer.process(prev_kf)
+                    with span(self.profiler, "map.loop_closing"):
+                        self.loop_closer.process(prev_kf)
                 else:
                     self.keyframe_db.add(prev_kf)
 
@@ -167,8 +182,10 @@ class System:
                 traceback.print_exc()
 
     def _track(self, data: FrameData):
+        from airdos_tpu.utils.obs import span
         t0 = time.perf_counter()
-        frame = self.tracking.track(data)
+        with span(self.profiler, "track"):
+            frame = self.tracking.track(data)
         prev_kf = self.map.kfs.get(self.tracking.last_kf_id)
 
         if (self.tracking.state == TrackState.OK and prev_kf is not None

@@ -109,7 +109,9 @@ class Tracking:
         """Process one stereo frame (GrabImageStereo[Human] + OffLineTrack)."""
         frame = None
         fast_ok = None
-        self._reanchor_last_frame()
+        import os as _os
+        if _os.environ.get("AIRDOS_NO_REANCHOR") != "1":
+            self._reanchor_last_frame()
         # the motion model is unusable right after relocalization (velocity
         # spans a lost/garbage pose) — force reference-KF tracking for two
         # frames (reference Tracking.cc:587: mnId < mnLastRelocFrameId+2)
@@ -405,11 +407,22 @@ class Tracking:
 
     def _update_last_frame_vo_points(self):
         """Create temporary close-depth points for the last frame (reference
-        Tracking::UpdateLastFrame 'visual odometry' points)."""
+        Tracking::UpdateLastFrame 'visual odometry' points).
+
+        CRITICAL parity detail: the reference creates these ONLY in
+        localization-only mode (Tracking.cc: '!mbOnlyTracking -> return').
+        In mapping mode every association must be a real, BA-corrected map
+        point — temporal points are anchored to the last frame's own
+        estimated pose, so matching against them feeds pose drift back
+        into itself and the error compounds geometrically."""
         self._vo_points = {}
         lf = self.last_frame
+        if not self.only_tracking:
+            return
         if lf is None or lf.ref_kf_id is None:
             return
+        if lf.index == self._kf_frame_index():
+            return      # last frame became a keyframe: its points are real
         depths = lf.depth
         cand = np.nonzero((depths > 0) & lf.valid & (lf.mp_idx < 0))[0]
         if len(cand) == 0:

@@ -84,7 +84,7 @@ def local_bundle_adjust(
         e_info: jnp.ndarray,      # [E] invSigma2
         e_valid: jnp.ndarray,     # [E] bool
         fx, fy, cx, cy, bf,
-        iters1: int = 8, iters2: int = 17,
+        iters1: int = 5, iters2: int = 10,
         axis_name: str | None = None) -> LocalBAResult:
     C = cam_R.shape[0]
     P = points.shape[0]

@@ -1,13 +1,21 @@
-"""Benchmark: end-to-end stereo tracking throughput on TPU.
+"""Benchmark: end-to-end SLAM throughput + accuracy on TPU.
 
-Runs the full SLAM tracking step (frame front-end + matching + pose
-optimization + keyframing/local-BA amortized) on a synthetic sequence with
-the TartanAir-Shibuya camera geometry (640x360, fx 772.5, 1000 ORB
-features, 8 pyramid levels — tartanair.yaml budgets).
+Three sections, one JSON line:
 
-Prints ONE JSON line.  Baseline: the reference's real-time budget on this
-dataset is 2.0 fps (Camera.fps, tartanair.yaml:22; BASELINE.md) — the
-reference repo records no faster number.  vs_baseline = tracking_fps / 2.0.
+1. tracking_fps        — static stereo pipeline (frame front-end + matching
+                         + pose optimization + keyframing/local BA) on the
+                         TartanAir-Shibuya camera geometry (640x360,
+                         fx 772.5, 1000 ORB features, 8 levels).
+2. tracking_fps_human  — the flagship dynamic pipeline: masked extraction,
+                         human stereo association, human-trajectory BA.
+3. ate_rmse_static / ate_rmse_human — the AirDOS headline: on a dynamic
+                         scene (textured moving humans rendered into the
+                         images), the masked+human-BA pipeline vs the
+                         static pipeline that ingests the moving texture.
+
+Baseline: the reference's real-time budget on this dataset is 2.0 fps
+(Camera.fps, tartanair.yaml:22; BASELINE.md) — the reference repo records
+no faster number.  vs_baseline = tracking_fps / 2.0.
 """
 import json
 import time
@@ -15,50 +23,82 @@ import time
 import numpy as np
 
 
-def main():
+def _cfg(human: bool):
     from airdos_tpu.config import SlamConfig
-    from airdos_tpu.io.synthetic import SyntheticStereoWorld, default_camera
-    from airdos_tpu.slam.system import System
-
+    from airdos_tpu.io.synthetic import default_camera
     cfg = SlamConfig()
     cfg.camera = default_camera()          # TartanAir-Shibuya geometry
     cfg.orb.n_features = 1000
     cfg.orb.n_levels = 8
-    cfg.human.ok = False
-    # offline (synchronous, deterministic) — the paper configuration; the
-    # online mapping thread crashes the tunneled-TPU client (not thread-safe)
+    cfg.human.ok = human
+    cfg.human.is_seg = human
+    cfg.system.is_mask = human
+    # offline (synchronous, deterministic) — the paper configuration
     cfg.system.is_offline = True
     cfg.device.max_keypoints = 2048
     cfg.device.max_local_kfs = 8
     cfg.device.max_fixed_kfs = 4
     cfg.device.max_local_points = 2048
     cfg.device.max_ba_edges = 8192
+    cfg.device.max_trajectories = 4
+    cfg.device.max_trajectory_len = 32
+    return cfg
 
-    world = SyntheticStereoWorld(seed=0, n_points=200)
-    n_warm, n_bench = 6, 14
-    frames = []
-    Rwc, twc = world.trajectory(n_warm + n_bench, 0.1)
-    for i in range(n_warm + n_bench):
-        frames.append(world.frame(i, Rwc[i], twc[i], i * 0.1,
-                                  with_humans=False))
 
+def _run(cfg, frames, gts, n_warm):
+    from airdos_tpu.slam.system import System
     slam = System(cfg)
-    # warm-up: compiles every device program used on the steady-state path
     for i in range(n_warm):
-        slam.track_stereo(frames[i])
-
+        (slam.track_stereo_human if cfg.human.ok else slam.track_stereo)(frames[i])
     t0 = time.perf_counter()
-    for i in range(n_warm, n_warm + n_bench):
-        slam.track_stereo(frames[i])
+    for i in range(n_warm, len(frames)):
+        (slam.track_stereo_human if cfg.human.ok else slam.track_stereo)(frames[i])
     dt = time.perf_counter() - t0
-    fps = n_bench / dt
+    fps = (len(frames) - n_warm) / dt
+    ts, Rwc, twc = slam.tracking.trajectory_tum()
+    from airdos_tpu.io.tum import ate_rmse
+    ate = float(ate_rmse(twc, np.asarray(gts)[: len(twc)])) if len(twc) >= 5 \
+        else float("nan")
+    slam.shutdown()
+    return fps, ate
+
+
+def main():
+    from airdos_tpu.io.synthetic import SyntheticStereoWorld
+
+    n_warm, n_bench = 6, 14
+    n_total = n_warm + n_bench
+
+    # --- section 1: static throughput --------------------------------
+    world = SyntheticStereoWorld(seed=0, n_points=300)
+    Rwc, twc = world.trajectory(n_total, 0.1, yaw_rate=0.005)
+    frames = [world.frame(i, Rwc[i], twc[i], i * 0.1, with_humans=False)
+              for i in range(n_total)]
+    fps_static, ate_clean = _run(_cfg(human=False), frames, twc, n_warm)
+
+    # --- sections 2+3: dynamic scene ---------------------------------
+    world_h = SyntheticStereoWorld(seed=0, n_points=300, n_humans=2)
+    Rwc, twc = world_h.trajectory(n_total, 0.1, yaw_rate=0.005)
+    frames_h = [world_h.frame(i, Rwc[i], twc[i], i * 0.1, with_humans=True)
+                for i in range(n_total)]
+    fps_human, ate_human = _run(_cfg(human=True), frames_h, twc, n_warm)
+
+    # static pipeline, no masks, same dynamic frames: moving-human texture
+    # leaks into the static matcher
+    cfg_s = _cfg(human=False)
+    cfg_s.system.is_mask = False
+    fps_polluted, ate_static = _run(cfg_s, frames_h, twc, n_warm)
 
     baseline_fps = 2.0     # dataset real-time budget (tartanair.yaml:22)
     print(json.dumps({
         "metric": "tracking_fps",
-        "value": round(fps, 3),
+        "value": round(fps_static, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 3),
+        "vs_baseline": round(fps_static / baseline_fps, 3),
+        "tracking_fps_human": round(fps_human, 3),
+        "ate_rmse_clean": round(ate_clean, 4),
+        "ate_rmse_static": round(ate_static, 4),
+        "ate_rmse_human": round(ate_human, 4),
     }))
 
 

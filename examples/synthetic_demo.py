@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""One-command dynamic-scene repro on the synthetic stereo world.
+
+Runs the flagship pipeline (masked extraction + human association + human-
+trajectory BA) and the plain static pipeline over the SAME dynamic
+sequence (textured moving humans rendered into the images), reports both
+ATE RMSEs — the AirDOS headline is that the human-aware pipeline stays
+accurate where the static one ingests moving texture — and writes the
+trajectories, a FrameDrawer overlay, and a map figure.
+
+Usage:
+    python examples/synthetic_demo.py [out_dir] [n_frames]
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    out = Path(sys.argv[1] if len(sys.argv) > 1 else "demo_out")
+    n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    out.mkdir(parents=True, exist_ok=True)
+
+    from airdos_tpu.config import SlamConfig
+    from airdos_tpu.io.synthetic import SyntheticStereoWorld, default_camera
+    from airdos_tpu.io.tum import ate_rmse
+    from airdos_tpu.slam.system import System
+    from airdos_tpu.viz.frame_drawer import save_frame_overlay
+    from airdos_tpu.viz.viewer import Viewer
+
+    def make_cfg(human: bool) -> SlamConfig:
+        cfg = SlamConfig()
+        cfg.camera = default_camera()
+        cfg.orb.n_features = 1000
+        cfg.orb.n_levels = 8
+        cfg.human.ok = human
+        cfg.human.is_seg = human
+        cfg.system.is_mask = human
+        cfg.device.max_keypoints = 2048
+        cfg.device.max_local_kfs = 8
+        cfg.device.max_fixed_kfs = 4
+        cfg.device.max_local_points = 2048
+        cfg.device.max_ba_edges = 8192
+        return cfg
+
+    world = SyntheticStereoWorld(seed=0, n_points=300, n_humans=2)
+    Rwc, twc = world.trajectory(n_frames, 0.1, yaw_rate=0.005)
+    print("rendering frames...")
+    frames = [world.frame(i, Rwc[i], twc[i], i * 0.1, with_humans=True)
+              for i in range(n_frames)]
+
+    results = {}
+    for tag, human in (("human", True), ("static", False)):
+        cfg = make_cfg(human)
+        if not human:
+            cfg.system.is_mask = False       # moving texture leaks in
+        slam = System(cfg)
+        viewer = Viewer(slam.map, slam.tracking)
+        frame = None
+        for data in frames:
+            frame = (slam.track_stereo_human if human
+                     else slam.track_stereo)(data)
+            viewer.update(frame)
+        ts, Rwc_e, twc_e = slam.tracking.trajectory_tum()
+        err = float(ate_rmse(twc_e, np.asarray(twc)[: len(twc_e)]))
+        results[tag] = err
+        slam.save_trajectory_tum(out / f"traj_{tag}.txt")
+        viewer.save_map_figure(out / f"map_{tag}.png")
+        if frame is not None:
+            save_frame_overlay(out / f"overlay_{tag}.png", frame,
+                               slam.tracking.state.name,
+                               slam.map.n_keyframes(), slam.map.n_points(),
+                               image=frames[-1].image_left)
+        print(f"{tag:7s} ATE RMSE: {err:.4f} m "
+              f"(KFs {slam.map.n_keyframes()}, points {slam.map.n_points()}, "
+              f"trajectories {len(slam.map.trajectories)})")
+        slam.shutdown()
+
+    print(f"\nwrote {out}/traj_*.txt, map_*.png, overlay_*.png")
+    print(f"human-aware ATE {results['human']:.4f} vs "
+          f"static-on-dynamic ATE {results['static']:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

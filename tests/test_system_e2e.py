@@ -34,7 +34,7 @@ def test_vo_tracks_and_exports_trajectory(tmp_path):
     world = SyntheticStereoWorld(seed=0, n_points=200, cam=cfg.camera)
     slam = System(cfg)
     gt = []
-    for data, Rwc, twc in world.sequence(25, dt=0.1):
+    for data, Rwc, twc in world.sequence(18, dt=0.1, yaw_rate=0.008):
         slam.track_stereo(data)
         gt.append(twc)
     assert slam.tracking.state.name == "OK"
@@ -44,7 +44,7 @@ def test_vo_tracks_and_exports_trajectory(tmp_path):
     out = tmp_path / "traj.txt"
     slam.save_trajectory_tum(out)
     ts, Rwc_est, twc_est = read_trajectory_tum(out)
-    assert len(ts) >= 20
+    assert len(ts) >= 14
     # the low-res camera drifts; just require a sane bound and full tracking
     err = ate_rmse(twc_est, np.asarray(gt)[:len(twc_est)])
     assert err < 2.0, err
@@ -60,7 +60,7 @@ def test_online_mode_matches_reference_threading():
     cfg.system.is_offline = False
     world = SyntheticStereoWorld(seed=0, n_points=200, cam=cfg.camera)
     slam = System(cfg)
-    for data, _, _ in world.sequence(12, dt=0.1):
+    for data, _, _ in world.sequence(12, dt=0.1, yaw_rate=0.008):
         slam.track_stereo(data)
     slam.shutdown()
     assert slam.tracking.state.name == "OK"
@@ -75,7 +75,7 @@ def test_human_pipeline_builds_trajectories():
     world = SyntheticStereoWorld(seed=3, n_points=200, cam=cfg.camera,
                                  n_humans=2)
     slam = System(cfg)
-    for data, Rwc, twc in world.sequence(24, dt=0.1):
+    for data, Rwc, twc in world.sequence(18, dt=0.1, yaw_rate=0.008):
         slam.track_stereo_human(data)
     trajs = slam.map.trajectories
     assert len(trajs) >= 1
