@@ -99,10 +99,20 @@ class SyntheticStereoWorld:
             # static landmarks in a corridor along +z; depth quadratically
             # biased toward close range so a moving camera always sees
             # well-constrained (<~9 m) structure, like real street scenes —
-            # a uniform-depth world leaves stereo z almost unconstrained
+            # a uniform-depth world leaves stereo z almost unconstrained.
+            # The camera's own path cylinder (|x| < 0.7) is kept clear: a
+            # dot the camera flies through sweeps ~80 px/frame, mismatches
+            # to its neighbours inside the search window, and its (accurate,
+            # high-information) depth lets it hijack the pose solve.  The
+            # band must stay narrow — with a 22.5 deg half-FOV, a dot at
+            # |x|=1.5 only enters view beyond z=3.6 m, and a wider clearance
+            # leaves NO close features in the central image at all.
             zmax = min(wz, 25.0)
+            xs = self.rng.uniform(-wx / 2, wx / 2, n_points)
+            band = np.abs(xs) < 0.7
+            xs[band] = np.sign(xs[band]) * (0.7 + np.abs(xs[band]))
             self.points = np.stack([
-                self.rng.uniform(-wx / 2, wx / 2, n_points),
+                xs,
                 self.rng.uniform(-wy / 2, wy / 2, n_points),
                 0.5 + (zmax - 0.5) * self.rng.uniform(0, 1, n_points) ** 2,
             ], axis=1)
@@ -139,13 +149,14 @@ class SyntheticStereoWorld:
             for k in range(60):
                 z0 = self.rng.uniform(2.5, 28.0)
                 x0 = self.rng.uniform(-0.45, 0.45) * (2.0 + z0 * 0.8)
-                # keep near-range billboards clear of the camera corridor so
-                # the view never degenerates to one giant close plane
-                if z0 < 9.0 and abs(x0) < 1.2:
-                    x0 = np.sign(x0 or 1.0) * (1.2 + abs(x0))
-                y0 = self.rng.uniform(-0.6, 1.0)
                 bw = self.rng.uniform(0.5, 1.6)
                 bh = self.rng.uniform(0.5, 1.6)
+                # keep near-range billboards (their full width) clear of the
+                # camera corridor so the camera never brushes past a giant
+                # close plane
+                if z0 < 9.0 and abs(x0) - bw / 2 < 1.4:
+                    x0 = np.sign(x0 or 1.0) * (1.4 + bw / 2 + abs(x0) * 0.3)
+                y0 = self.rng.uniform(-0.6, 1.0)
                 self.billboards.append((2, x0, y0, z0, bw, bh, 100 + k))
         self.billboards.sort(key=lambda b: -abs(b[3]))   # far to near
         self.humans: List[SyntheticHuman] = []
@@ -212,8 +223,13 @@ class SyntheticStereoWorld:
             return ((v ^ (v >> 16)) & 0xFF) / 255.0
 
         out = np.zeros_like(x, dtype=np.float64)
-        # mip-correct sharp blocks
-        base = 0.04
+        # mip-correct sharp blocks.  The base must be FINE (mm-scale): with
+        # a coarse base a close-up surface renders as ~60 px flat blocks —
+        # featureless interiors plus aperture-problem edges that alias at
+        # exactly the matcher's window scale.  With mip selection the
+        # projected block size stays ~2.5-5x the pixel footprint at every
+        # distance.
+        base = 0.008
         if footprint is None:
             scale = np.full_like(x, base)
         else:

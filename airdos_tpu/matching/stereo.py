@@ -80,7 +80,16 @@ def stereo_match(xy_l: jnp.ndarray, oct_l: jnp.ndarray, desc_l: jnp.ndarray,
     # one extra argmin, and it kills most repeated-texture mismatches.)
     best_l_of_r = jnp.argmin(D, axis=0)                      # [M]
     mutual = best_l_of_r[best_r] == jnp.arange(xy_l.shape[0])
-    cand_ok = (best_dist < TH_ORB) & mutual
+    # ambiguity rejection: if a second right candidate at a clearly
+    # different u is nearly as good, the match (and its disparity) is
+    # unreliable — these are exactly the features whose wrong depths later
+    # poison keyframe point creation
+    far_u = jnp.abs(uR[None, :] - uR[best_r][:, None]) > 1.5
+    D2 = jnp.where(far_u, D, 1 << 10)
+    second = jnp.min(D2, axis=1)
+    unambiguous = best_dist.astype(jnp.float32) < \
+        0.9 * jnp.minimum(second, 256).astype(jnp.float32)
+    cand_ok = (best_dist < TH_ORB) & mutual & unambiguous
 
     # ---- sub-pixel SAD ----------------------------------------------
     inv_scale = 1.0 / scale_factors[oct_l]                   # [N]

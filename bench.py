@@ -66,18 +66,18 @@ def _run(cfg, frames, gts, n_warm):
 def main():
     from airdos_tpu.io.synthetic import SyntheticStereoWorld
 
-    n_warm, n_bench = 6, 14
+    n_warm, n_bench = 4, 10
     n_total = n_warm + n_bench
 
     # --- section 1: static throughput --------------------------------
-    world = SyntheticStereoWorld(seed=0, n_points=300)
+    world = SyntheticStereoWorld(seed=0, n_points=500)
     Rwc, twc = world.trajectory(n_total, 0.1, yaw_rate=0.005)
     frames = [world.frame(i, Rwc[i], twc[i], i * 0.1, with_humans=False)
               for i in range(n_total)]
     fps_static, ate_clean = _run(_cfg(human=False), frames, twc, n_warm)
 
     # --- sections 2+3: dynamic scene ---------------------------------
-    world_h = SyntheticStereoWorld(seed=0, n_points=300, n_humans=2)
+    world_h = SyntheticStereoWorld(seed=0, n_points=500, n_humans=2)
     Rwc, twc = world_h.trajectory(n_total, 0.1, yaw_rate=0.005)
     frames_h = [world_h.frame(i, Rwc[i], twc[i], i * 0.1, with_humans=True)
                 for i in range(n_total)]

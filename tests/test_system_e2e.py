@@ -34,7 +34,7 @@ def test_vo_tracks_and_exports_trajectory(tmp_path):
     world = SyntheticStereoWorld(seed=0, n_points=200, cam=cfg.camera)
     slam = System(cfg)
     gt = []
-    for data, Rwc, twc in world.sequence(18, dt=0.1, yaw_rate=0.008):
+    for data, Rwc, twc in world.sequence(14, dt=0.1, yaw_rate=0.008):
         slam.track_stereo(data)
         gt.append(twc)
     assert slam.tracking.state.name == "OK"
@@ -75,7 +75,7 @@ def test_human_pipeline_builds_trajectories():
     world = SyntheticStereoWorld(seed=3, n_points=200, cam=cfg.camera,
                                  n_humans=2)
     slam = System(cfg)
-    for data, Rwc, twc in world.sequence(18, dt=0.1, yaw_rate=0.008):
+    for data, Rwc, twc in world.sequence(14, dt=0.1, yaw_rate=0.008):
         slam.track_stereo_human(data)
     trajs = slam.map.trajectories
     assert len(trajs) >= 1
