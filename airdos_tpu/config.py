@@ -116,6 +116,9 @@ class DeviceConfig:
     max_trajectories: int = 8         # trajectories per BA window
     ransac_hypotheses: int = 512      # vmapped RANSAC batch
     dtype: str = "float32"
+    # Multi-chip: >1 runs the local/global BA solves with their edge tables
+    # sharded over an ICI mesh of this many devices (parallel/sharded_ba).
+    n_chips: int = 1
 
 
 @dataclasses.dataclass

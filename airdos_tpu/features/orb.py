@@ -175,6 +175,16 @@ class OrbExtractor:
         ang = jnp.concatenate(out_ang, axis=0)
         octv = jnp.concatenate(out_oct, axis=0)
         desc = jnp.concatenate(out_desc, axis=0)
+        # pad slot count to a multiple of 128 so the Pallas Hamming tile
+        # kernel (128-lane blocks) is eligible at every matcher call site
+        n = xy.shape[0]
+        pad = (-n) % 128
+        if pad:
+            xy = jnp.pad(xy, ((0, pad), (0, 0)))
+            resp = jnp.pad(resp, (0, pad))
+            ang = jnp.pad(ang, (0, pad))
+            octv = jnp.pad(octv, (0, pad))
+            desc = jnp.pad(desc, ((0, pad), (0, 0)))
         valid = resp > 0
         return OrbFeatures(xy=xy, response=resp, angle=ang, octave=octv,
                            desc=desc, desc32=pack_u32(desc), valid=valid)

@@ -161,8 +161,13 @@ class SyntheticStereoWorld:
         self.billboards.sort(key=lambda b: -abs(b[3]))   # far to near
         self.humans: List[SyntheticHuman] = []
         for k in range(n_humans):
-            pos = np.array([self.rng.uniform(-3, 3), 0.0, self.rng.uniform(6, 14)])
-            vel = np.array([self.rng.uniform(-0.6, 0.6), 0.0, self.rng.uniform(-0.4, 0.4)])
+            # walk ACROSS the camera's corridor at close-ish range so the
+            # unmasked static pipeline genuinely ingests moving texture
+            side = -1.0 if k % 2 == 0 else 1.0
+            pos = np.array([side * self.rng.uniform(1.5, 3.0), 0.0,
+                            self.rng.uniform(4.5, 11.0)])
+            vel = np.array([-side * self.rng.uniform(0.2, 0.45), 0.0,
+                            self.rng.uniform(-0.2, 0.2)])
             self.humans.append(SyntheticHuman(k, pos, vel))
 
     # ---------------------------------------------------------------- poses
@@ -484,12 +489,19 @@ class SyntheticStereoWorld:
                 hl.append(obs_l)
                 hr.append(obs_r)
                 ids.append(hu.track_id)
-                # seg mask box around the person
-                x0, x1 = int(max(0, uL.min() - 5)), int(min(w - 1, uL.max() + 5))
-                y0, y1 = int(max(0, vL.min() - 5)), int(min(h - 1, vL.max() + 5))
-                seg_l[y0:y1, x0:x1] = 255
-                x0, x1 = int(max(0, uR.min() - 5)), int(min(w - 1, uR.max() + 5))
-                seg_r[y0:y1, x0:x1] = 255
+                # silhouette-shaped seg mask: dilated limb capsules (a full
+                # bounding box blacks out far more static background than a
+                # real instance-segmentation mask would)
+                import cv2
+                for seg_im, uu, vv, zz in ((seg_l, uL, vL, zL),
+                                           (seg_r, uR, vR, zR)):
+                    for s in range(N_PARTS):
+                        a, b = int(BODY1[s]), int(BODY2[s])
+                        th_px = int(max(3, self.cam.fx * 0.12 /
+                                        max(float(zz[a]), 0.5)))
+                        cv2.line(seg_im,
+                                 (int(uu[a]), int(vv[a])),
+                                 (int(uu[b]), int(vv[b])), 255, th_px)
             if hl:
                 humans_l = np.asarray(hl)
                 humans_r = np.asarray(hr)

@@ -80,7 +80,7 @@ def sharded_pose_optimize_step(mesh: Mesh, axis: str = "edges"):
 
 
 def sharded_local_bundle_adjust(mesh: Mesh, axis: str = "edges",
-                                iters1: int = 8, iters2: int = 17):
+                                iters1: int = 5, iters2: int = 10):
     """The FULL local-BA LM protocol (solvers.local_ba.local_bundle_adjust:
     two phases, Huber, mid-run chi2 outlier demotion, Schur complement with
     landmark back-substitution) with the edge table sharded over the mesh.
@@ -121,3 +121,38 @@ def sharded_local_bundle_adjust(mesh: Mesh, axis: str = "edges",
 def _ba_out_specs(axis):
     from airdos_tpu.solvers.local_ba import LocalBAResult
     return LocalBAResult(R=P(), t=P(), points=P(), edge_inlier=P(axis))
+
+
+def sharded_global_bundle_adjust(mesh: Mesh, axis: str = "edges",
+                                 iters1: int = 6, iters2: int = 10,
+                                 cg_iters: int = 48):
+    """Map-scale global BA (matrix-free Schur + PCG,
+    solvers/global_ba.py) with the edge table sharded over the mesh: the
+    O(E) gather/scatter contractions run on shard-local edges, every
+    C/P-table reduction and CG dot product is psum-reduced over ICI, and
+    the replicated CG state stays tiny.  Edge arrays must be padded to a
+    multiple of the mesh size."""
+    from airdos_tpu.solvers.global_ba import (GlobalBAResult,
+                                              global_bundle_adjust)
+
+    def run(cam_R, cam_t, cam_fixed, points, point_valid,
+            e_cam, e_pt, e_obs, e_info, e_valid, fx, fy, cx, cy, bf):
+        def shard_fn(cam_R, cam_t, cam_fixed, points, point_valid,
+                     e_cam_s, e_pt_s, e_obs_s, e_info_s, e_valid_s):
+            return global_bundle_adjust(
+                cam_R, cam_t, cam_fixed, points, point_valid,
+                e_cam_s, e_pt_s, e_obs_s, e_info_s, e_valid_s,
+                fx, fy, cx, cy, bf,
+                iters1=iters1, iters2=iters2, cg_iters=cg_iters,
+                axis_name=axis)
+
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(),
+                      P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=GlobalBAResult(R=P(), t=P(), points=P(),
+                                     edge_inlier=P(axis)),
+        )(cam_R, cam_t, cam_fixed, points, point_valid,
+          e_cam, e_pt, e_obs, e_info, e_valid)
+
+    return jax.jit(run)

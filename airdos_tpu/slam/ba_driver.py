@@ -55,7 +55,12 @@ class StaticLocalBA:
                                  self.max_cams)
         self._pb = _StickyBucket(1024, self.P)
         self._eb = _StickyBucket(4096, self.E)
-        self._jit = jax.jit(local_bundle_adjust)
+        if dev.n_chips > 1:
+            from airdos_tpu.parallel.sharded_ba import (
+                make_mesh, sharded_local_bundle_adjust)
+            self._jit = sharded_local_bundle_adjust(make_mesh(dev.n_chips))
+        else:
+            self._jit = jax.jit(local_bundle_adjust)
 
     def __call__(self, kf: KeyFrame):
         m = self.map
@@ -715,8 +720,15 @@ class GlobalBA:
         self._cb = _StickyBucket(16, max_kfs)
         self._pb = _StickyBucket(1024, max_points)
         self._eb = _StickyBucket(4096, max_edges)
-        self._jit = jax.jit(global_bundle_adjust,
-                            static_argnames=("iters1", "iters2", "cg_iters"))
+        self._n_chips = config.device.n_chips
+        if self._n_chips > 1:
+            from airdos_tpu.parallel.sharded_ba import (
+                make_mesh, sharded_global_bundle_adjust)
+            self._mesh = make_mesh(self._n_chips)
+        else:
+            self._jit = jax.jit(global_bundle_adjust,
+                                static_argnames=("iters1", "iters2",
+                                                 "cg_iters"))
 
     def __call__(self, n_iters: int = 20):
         m = self.map
@@ -772,14 +784,22 @@ class GlobalBA:
                 e_valid[n_e] = True
                 n_e += 1
 
-        res = self._jit(jnp.asarray(cam_R), jnp.asarray(cam_t),
-                        jnp.asarray(cam_fixed),
-                        jnp.asarray(pts), jnp.asarray(pvalid),
-                        jnp.asarray(e_cam), jnp.asarray(e_pt),
-                        jnp.asarray(e_obs), jnp.asarray(e_info),
-                        jnp.asarray(e_valid),
-                        self.fx, self.fy, self.cx, self.cy, self.bf,
-                        iters1=n_iters // 2, iters2=n_iters, cg_iters=48)
+        args = (jnp.asarray(cam_R), jnp.asarray(cam_t),
+                jnp.asarray(cam_fixed),
+                jnp.asarray(pts), jnp.asarray(pvalid),
+                jnp.asarray(e_cam), jnp.asarray(e_pt),
+                jnp.asarray(e_obs), jnp.asarray(e_info),
+                jnp.asarray(e_valid),
+                self.fx, self.fy, self.cx, self.cy, self.bf)
+        if self._n_chips > 1:
+            from airdos_tpu.parallel.sharded_ba import \
+                sharded_global_bundle_adjust
+            fn = sharded_global_bundle_adjust(
+                self._mesh, iters1=n_iters // 2, iters2=n_iters)
+            res = fn(*args)
+        else:
+            res = self._jit(*args, iters1=n_iters // 2, iters2=n_iters,
+                            cg_iters=48)
         R_out = np.asarray(res.R)
         t_out = np.asarray(res.t)
         pts_out = np.asarray(res.points)

@@ -37,6 +37,8 @@ def main():
         cfg.human.ok = human
         cfg.human.is_seg = human
         cfg.system.is_mask = human
+        if human:
+            cfg.camera.fps = 5.0    # human-BA cadence (OffLineTrack)
         cfg.device.max_keypoints = 2048
         cfg.device.max_local_kfs = 8
         cfg.device.max_fixed_kfs = 4

@@ -121,7 +121,8 @@ def test_orb_extractor_end_to_end(rng):
     img = textured_image(rng, 360, 640).astype(np.float32)
     ext = OrbExtractor(n_features=500, n_levels=4)
     feats = ext(jnp.asarray(img))
-    assert feats.n_slots == 500
+    assert feats.n_slots == 512        # padded to a 128 multiple (Pallas)
+    assert int(feats.valid.sum()) <= 500
     valid = np.asarray(feats.valid)
     assert valid.sum() > 300
     xy = np.asarray(feats.xy)[valid]

@@ -63,3 +63,14 @@ def test_sharded_matches_single_chip(rng):
     # inlier classification identical up to numeric jitter
     agree = (np.asarray(sharded.edge_inlier) == np.asarray(single.edge_inlier))
     assert agree.mean() > 0.98
+
+    # the sharded map-scale CG solver agrees too
+    from airdos_tpu.parallel.sharded_ba import sharded_global_bundle_adjust
+    from airdos_tpu.solvers.global_ba import global_bundle_adjust
+    g1 = global_bundle_adjust(*args, fx, fy, cx, cy, bf,
+                              iters1=3, iters2=4, cg_iters=32)
+    gs = sharded_global_bundle_adjust(mesh, iters1=3, iters2=4,
+                                      cg_iters=32)(*args, fx, fy, cx, cy, bf)
+    np.testing.assert_allclose(np.asarray(gs.t), np.asarray(g1.t), atol=2e-3)
+    p_g = np.linalg.norm(np.asarray(gs.points) - pts_gt, axis=1)
+    assert np.median(p_g) < 0.05
