@@ -81,20 +81,34 @@ class SyntheticStereoWorld:
                  cam: Optional[CameraConfig] = None,
                  n_humans: int = 0,
                  world_size: Tuple[float, float, float] = (24.0, 8.0, 40.0),
-                 centered: bool = False):
+                 centered: bool = False,
+                 clear_ring: Optional[Tuple[float, float, float, float]] = None):
         """centered=True scatters landmarks/billboards all around the
         origin (for closed-loop trajectories); default is a corridor
-        along +z (forward-motion sequences)."""
+        along +z (forward-motion sequences).  clear_ring=(cx, cz, r, hw)
+        keeps landmarks at least hw away from the circular path of radius
+        r centred at (cx, cz) in the xz-plane (loop_trajectory's track)."""
         self.rng = np.random.default_rng(seed)
         self.cam = cam or default_camera()
         self.centered = centered
         wx, wy, wz = world_size
         if centered:
-            self.points = np.stack([
+            pts = np.stack([
                 self.rng.uniform(-wx / 2, wx / 2, n_points),
                 self.rng.uniform(-wy / 2, wy / 2, n_points),
                 self.rng.uniform(-wz / 2, wz / 2, n_points),
             ], axis=1)
+            if clear_ring is not None:
+                cx0, cz0, r0, hw = clear_ring
+                dr = np.sqrt((pts[:, 0] - cx0) ** 2 +
+                             (pts[:, 2] - cz0) ** 2) - r0
+                band = np.abs(dr) < hw
+                # push banded points radially off the track
+                ang = np.arctan2(pts[band, 2] - cz0, pts[band, 0] - cx0)
+                rr = r0 + np.sign(dr[band] + 1e-9) * (hw + np.abs(dr[band]))
+                pts[band, 0] = cx0 + rr * np.cos(ang)
+                pts[band, 2] = cz0 + rr * np.sin(ang)
+            self.points = pts
         else:
             # static landmarks in a corridor along +z; depth quadratically
             # biased toward close range so a moving camera always sees

@@ -26,8 +26,9 @@ def test_loop_detected_and_corrected():
     cfg.device.max_ba_edges = 4096
     cfg.enable_loop_closing = True
 
-    world = SyntheticStereoWorld(seed=1, n_points=600, cam=cfg.camera,
-                                 centered=True, world_size=(26.0, 8.0, 26.0))
+    world = SyntheticStereoWorld(seed=1, n_points=900, cam=cfg.camera,
+                                 centered=True, world_size=(26.0, 8.0, 26.0),
+                                 clear_ring=(4.0, 0.0, 4.0, 0.7))
     slam = System(cfg)
     N = 80
     Rwc, twc = world.loop_trajectory(N, radius=4.0)
