@@ -93,21 +93,28 @@ class SyntheticStereoWorld:
         self.centered = centered
         wx, wy, wz = world_size
         if centered:
-            pts = np.stack([
-                self.rng.uniform(-wx / 2, wx / 2, n_points),
-                self.rng.uniform(-wy / 2, wy / 2, n_points),
-                self.rng.uniform(-wz / 2, wz / 2, n_points),
-            ], axis=1)
             if clear_ring is not None:
+                # place landmarks in an annulus hugging the circular track
+                # (offset quadratically biased close) so the camera always
+                # has well-constrained close structure in view, with the
+                # track cylinder itself kept clear of fly-through features
                 cx0, cz0, r0, hw = clear_ring
-                dr = np.sqrt((pts[:, 0] - cx0) ** 2 +
-                             (pts[:, 2] - cz0) ** 2) - r0
-                band = np.abs(dr) < hw
-                # push banded points radially off the track
-                ang = np.arctan2(pts[band, 2] - cz0, pts[band, 0] - cx0)
-                rr = r0 + np.sign(dr[band] + 1e-9) * (hw + np.abs(dr[band]))
-                pts[band, 0] = cx0 + rr * np.cos(ang)
-                pts[band, 2] = cz0 + rr * np.sin(ang)
+                ang = self.rng.uniform(0, 2 * np.pi, n_points)
+                off = (hw + (wz / 2 - hw) *
+                       self.rng.uniform(0, 1, n_points) ** 2) * \
+                    self.rng.choice([-1.0, 1.0], n_points)
+                rr = np.maximum(r0 + off, 0.3)
+                pts = np.stack([
+                    cx0 + rr * np.cos(ang),
+                    self.rng.uniform(-wy / 2, wy / 2, n_points),
+                    cz0 + rr * np.sin(ang),
+                ], axis=1)
+            else:
+                pts = np.stack([
+                    self.rng.uniform(-wx / 2, wx / 2, n_points),
+                    self.rng.uniform(-wy / 2, wy / 2, n_points),
+                    self.rng.uniform(-wz / 2, wz / 2, n_points),
+                ], axis=1)
             self.points = pts
         else:
             # static landmarks in a corridor along +z; depth quadratically
