@@ -112,7 +112,7 @@ class DeviceConfig:
     max_humans: int = 8               # humans per frame
     n_joints: int = 18                # AlphaPose joints observed
     n_skeleton_joints: int = 14       # optimized skeleton joints
-    max_trajectory_len: int = 64      # human poses per trajectory in BA window
+    max_trajectory_len: int = 24      # human poses per trajectory in BA window
     max_trajectories: int = 8         # trajectories per BA window
     ransac_hypotheses: int = 512      # vmapped RANSAC batch
     dtype: str = "float32"

@@ -415,6 +415,10 @@ class LoopCloser:
         ckf.loop_edges.add(kf.id)
         self._last_loop_kf = kf.id
         self.n_loops_closed += 1
+        from airdos_tpu.utils.obs import get_logger
+        get_logger().emit("loop_closed", kf=kf.id, candidate=cand_id,
+                          n_matches=len(matches),
+                          n_loop_points=len(loop_points))
         if self.global_ba is not None:
             self.global_ba()
         return True

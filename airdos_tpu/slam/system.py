@@ -82,6 +82,8 @@ class System:
         from airdos_tpu.utils.obs import EventLog, Profiler
         self.profiler = Profiler(trace_dir=os.environ.get("AIRDOS_TRACE_DIR"))
         self.events = EventLog(path=os.environ.get("AIRDOS_EVENT_LOG"))
+        from airdos_tpu.utils import obs as _obs
+        _obs._global_log = self.events     # subsystem emissions land here
         self.static_ba.profiler = self.profiler
 
     # ----------------------------------------------------------------- api
@@ -208,7 +210,14 @@ class System:
             self._last_human_ba_frame = self._frame_count
 
         self._frame_count += 1
-        self.track_times.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        self.track_times.append(dt)
+        self.events.emit("frame", index=data.index,
+                         state=self.tracking.state.name,
+                         n_inliers=int(self.tracking.n_inliers),
+                         n_kfs=self.map.n_keyframes(),
+                         n_points=self.map.n_points(),
+                         track_s=round(dt, 4))
         if self.viewer is not None:
             self.viewer.update(frame)
         return frame

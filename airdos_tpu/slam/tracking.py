@@ -588,6 +588,9 @@ class Tracking:
         if self.keyframe_db is not None and self.map.kfs:
             if self._relocalize_bow(frame):
                 self.last_reloc_frame = frame.index
+                from airdos_tpu.utils.obs import get_logger
+                get_logger().emit("relocalized", frame=frame.index,
+                                  ref_kf=frame.ref_kf_id)
                 return True
         if self.last_frame is None:
             return False

@@ -101,7 +101,7 @@ def human_bundle_adjust(
         sigma_static, sigma_human, sigma_rigidity, sigma_motion,
         th_huber_motion, th_ransac_motion, th_ransac_rigidity,
         fx, fy, cx, cy, bf,
-        iters1: int = 8, iters2: int = 17) -> HumanBAResult:
+        iters1: int = 5, iters2: int = 10) -> HumanBAResult:
     dtype = points.dtype
     C = cam_R.shape[0]
     P = points.shape[0]

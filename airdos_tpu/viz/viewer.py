@@ -25,6 +25,8 @@ class Viewer:
         self.frame_overlays = []
         self.keep_overlays = keep_overlays
         self.gt_poses = None     # optional [N, 3] GT camera centres
+        self._live_every = 0
+        self._live_fig = self._live_ax = None
 
     def update(self, frame):
         self.poses.append(frame.Ow.copy())
@@ -33,6 +35,36 @@ class Viewer:
             self.frame_overlays.append(draw_frame(
                 frame, self.tracking.state.name,
                 self.map.n_keyframes(), self.map.n_points()))
+        if self._live_every and len(self.poses) % self._live_every == 0:
+            self._refresh_live()
+
+    # ------------------------------------------------------------- live
+    def start_live(self, every: int = 5):
+        """Interactive map view refreshed every N frames (reference:
+        Viewer::Run's Pangolin loop; here matplotlib-interactive, entirely
+        best-effort — headless environments quietly no-op)."""
+        try:
+            import matplotlib
+            import matplotlib.pyplot as plt
+            plt.ion()
+            self._live_fig, self._live_ax = plt.subplots(figsize=(6, 6))
+            self._live_every = every
+        except Exception:
+            self._live_every = 0
+
+    def _refresh_live(self):
+        import matplotlib.pyplot as plt
+        ax = self._live_ax
+        ax.clear()
+        pt = self.map.points
+        live = pt.live_ids()
+        if len(live):
+            ax.scatter(pt.pos[live, 0], pt.pos[live, 2], s=1, c="#999999")
+        P = np.asarray(self.poses)
+        ax.plot(P[:, 0], P[:, 2], "-", c="#1565c0", lw=1.5)
+        ax.set_aspect("equal")
+        self._live_fig.canvas.draw_idle()
+        plt.pause(0.001)
 
     def set_ground_truth(self, centers):
         """GT camera trace for rendering (MapDrawer::DrawCameraGT,

@@ -46,7 +46,7 @@ def _cfg(human: bool):
     cfg.device.max_local_points = 2048
     cfg.device.max_ba_edges = 8192
     cfg.device.max_trajectories = 4
-    cfg.device.max_trajectory_len = 32
+    cfg.device.max_trajectory_len = 16
     return cfg
 
 
