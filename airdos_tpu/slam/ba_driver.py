@@ -200,7 +200,10 @@ class Triangulator:
             nkf = m.kfs.get(nid)
             if nkf is None or nkf.bad:
                 continue
-            if np.linalg.norm(nkf.Ow - kf.Ow) < self.bf / self.fx * 0.01:
+            # stereo short-baseline gate: skip neighbors closer than the
+            # stereo baseline mb = bf/fx (reference LocalMapping.cc:259-266;
+            # the mono path's baseline/medianDepth<0.01 ratio is dead here)
+            if np.linalg.norm(nkf.Ow - kf.Ow) < self.bf / self.fx:
                 continue
             neighbors.append(nkf)
             if len(neighbors) == K:
@@ -512,15 +515,20 @@ class HumanLocalBA:
         cam_index = {kid: i for i, kid in enumerate(cam_ids)}
         window_ids = local_set | fset
 
-        # trajectories observed in the window, long enough
-        trajs = []
+        # trajectories observed in the window, long enough — most recently
+        # observed first, so with more than max_trajectories humans the
+        # currently-visible tracks win over stale ones (reference collects
+        # the local KFs' observed trajectories, Optimizer.cc:1500-1538)
+        cands = []
         for tid, traj in m.trajectories.items():
             if len(traj) <= TH_LONG_TRAJECTORY:
                 continue
-            if any(hp.kf_id in window_ids for hp in traj.poses):
-                trajs.append(traj)
-            if len(trajs) >= self.T:
-                break
+            window_poses = [hp.kf_id for hp in traj.poses
+                            if hp.kf_id in window_ids]
+            if window_poses:
+                cands.append((max(window_poses), traj))
+        cands.sort(key=lambda c: -c[0])
+        trajs = [traj for _, traj in cands[: self.T]]
         if not trajs:
             return
 
@@ -647,9 +655,7 @@ class HumanLocalBA:
         for i, (p, kid, fid) in enumerate(e_ref):
             if es_valid[i] and not s_in[i]:
                 m.erase_observation(p, kid)
-        for p in point_ids:
-            if not pt.bad[p]:
-                m.update_point_normal_depth(p)
+        m.update_points_normal_depth([p for p in point_ids if not pt.bad[p]])
 
         joints_o = np.asarray(res.joints)
         seg_o = np.asarray(res.seg_len)
@@ -808,5 +814,4 @@ class GlobalBA:
             if not cam_fixed[i]:
                 k.set_pose(R_out[i], t_out[i])
         pt.pos[point_ids] = pts_out[:len(point_ids)]
-        for p in point_ids:
-            m.update_point_normal_depth(p)
+        m.update_points_normal_depth(point_ids)

@@ -24,12 +24,24 @@ from airdos_tpu.config import SlamConfig
 from airdos_tpu.features.orb import OrbExtractor
 from airdos_tpu.geometry.camera import StereoCamera
 from airdos_tpu.matching.stereo import stereo_match, stack_pyramid
-from airdos_tpu.ops.disparity import disparity_bm
+from airdos_tpu.ops.disparity import patch_disparity
 from airdos_tpu.ops.pyramid import build_pyramid, level_shapes
 from airdos_tpu.slam.map import MAIN_SKELETON, N_JOINTS
 
 MAX_HUMAN_DEPTH = 20.0      # reference rejects joint depth > 20 m
 HUMAN_MATCH_TH = 30.0       # max mean torso distance for L/R association
+MAX_HUMANS = 8              # padded per-frame human budget (device arrays)
+N_TORSO = len(MAIN_SKELETON)
+
+
+def torso_pixels(humans_left) -> np.ndarray:
+    """[MAX_HUMANS * N_TORSO, 2] torso-joint pixels of the left detections,
+    padded with (-1, -1) — the disparity-probe input of the frame program."""
+    px = np.full((MAX_HUMANS * N_TORSO, 2), -1.0, np.float32)
+    for li, L in enumerate(humans_left[:MAX_HUMANS]):
+        for si, j in enumerate(MAIN_SKELETON):
+            px[li * N_TORSO + si] = L[j, :2]
+    return px
 
 
 @dataclasses.dataclass
@@ -57,7 +69,8 @@ class FrontEnd:
         self._widths = None
         self._build = jax.jit(self._build_impl, static_argnames=("with_disparity",))
 
-    def _build_impl(self, imL, imR, maskL, maskR, with_disparity: bool):
+    def _build_impl(self, imL, imR, maskL, maskR, torso_px,
+                    with_disparity: bool):
         cfg = self.config
         orb = cfg.orb
         imL = imL.astype(jnp.float32)
@@ -79,7 +92,11 @@ class FrontEnd:
                           jnp.float32(cfg.camera.bf),
                           jnp.float32(cfg.camera.baseline))
         xy_un = self.camera.undistort_points(fL.xy)
-        disp = disparity_bm(imL, imR) if with_disparity else jnp.zeros((1, 1))
+        # disparity only at the torso-joint probe pixels (association
+        # guidance) — never a dense map (reference Frame.cc:323-336 runs
+        # full-image SGBM; see ops/disparity.patch_disparity docstring)
+        disp = patch_disparity(imL, imR, torso_px) if with_disparity \
+            else jnp.zeros((1,))
         return fL, fR, sm, xy_un, disp
 
     def build_frame(self, data, index: int = None) -> "Frame":
@@ -99,7 +116,10 @@ class FrontEnd:
         use_gt_depth = cfg.system.is_ground_truth_depth and data.depth is not None
         want_disp = bool(cfg.human.ok and data.humans_left is not None
                          and len(data.humans_left) > 0 and not use_gt_depth)
+        torso_px = torso_pixels(data.humans_left) if want_disp else \
+            np.full((MAX_HUMANS * N_TORSO, 2), -1.0, np.float32)
         fL, fR, sm, xy_un, disp = self._build(imL, imR, maskL, maskR,
+                                              jnp.asarray(torso_px),
                                               with_disparity=want_disp)
         frame = Frame(self, data, fL, fR, sm, xy_un,
                       disp if want_disp else None)
@@ -125,8 +145,7 @@ class Frame:
         self = cls.__new__(cls)
         f32 = host.feat_f32
         i32 = host.feat_i32
-        disp = host.disparity if host.disparity.ndim == 2 and \
-            host.disparity.shape[0] > 1 else None
+        disp = host.disparity if host.disparity.shape[0] > 1 else None
         host_tuple = (f32[:, 0:2], f32[:, 4], f32[:, 5],
                       i32[:, 0], host.desc32, i32[:, 1] > 0,
                       f32[:, 6], f32[:, 7], f32[:, 2:4], disp)
@@ -229,9 +248,12 @@ class Frame:
                 conf_right=np.ones(N_JOINTS, np.float32),
                 depth=depth, bad=bad))
 
-    def _associate_humans(self, data, disp_map: np.ndarray):
+    def _associate_humans(self, data, joint_disp: np.ndarray):
         """Greedy left->right association via disparity-compensated torso
-        distance, then per-joint triangulation (reference semantics)."""
+        distance, then per-joint triangulation (reference semantics).
+
+        joint_disp: [MAX_HUMANS * N_TORSO] disparity probed at the left
+        detections' torso joints (see torso_pixels)."""
         cfg = self.config
         cam = self.camera
         bf = float(cfg.camera.bf)
@@ -240,7 +262,7 @@ class Frame:
         left, right = data.humans_left, data.humans_right
         tids = data.track_ids
         n = min(len(left), len(right)) if len(right) else 0
-        for li in range(min(len(left), n)):
+        for li in range(min(len(left), n, MAX_HUMANS)):
             tid = int(tids[li]) if tids is not None and li < len(tids) else -1
             if tids is not None and li < len(tids) and tid < 0:
                 continue  # untrackable pose
@@ -248,14 +270,14 @@ class Frame:
             best_rid, best_dist = -1, 50.0
             for ri in range(len(right)):
                 dsum, cnt = 0.0, 0
-                for j in MAIN_SKELETON:
+                for si, j in enumerate(MAIN_SKELETON):
                     sl, sr = L[j, 2], right[ri][j, 2]
                     ul, vl = L[j, 0], L[j, 1]
                     if sl < reject_th and sr < reject_th:
                         continue
                     if not (0 <= ul < w and 0 <= vl < h):
                         continue
-                    d = disp_map[int(vl), int(ul)]
+                    d = float(joint_disp[li * N_TORSO + si])
                     d = max(d, 0.0)
                     dx = ul - d - right[ri][j, 0]
                     dy = vl - right[ri][j, 1]

@@ -96,7 +96,7 @@ class FullTrackResult(NamedTuple):
     feat_i32: jnp.ndarray   # [N, 4]: octave valid motion_pof local_pof
     desc32: jnp.ndarray     # [N, 8] uint32
     scalars: jnp.ndarray    # [17]: R(9) t(3) n_motion n_inliers pad(3)
-    disparity: jnp.ndarray  # [H, W] or [1, 1]
+    disparity: jnp.ndarray  # [MAX_HUMANS * N_TORSO] joint disparity or [1]
 
 
 def make_full_track_step(frontend, config):
@@ -119,6 +119,7 @@ def make_full_track_step(frontend, config):
     n_levels = orb.n_levels
 
     def step(imL_u8, imR_u8, maskL_u8, maskR_u8,
+             torso_px,                # [MAX_HUMANS * N_TORSO, 2]
              prior_pack,              # [12]: R(9) t(3)
              last_f32,                # [Np, 8]: xw(3) ang oct valid real pad
              desc_p,
@@ -143,7 +144,7 @@ def make_full_track_step(frontend, config):
         valid_c = cand_f32[:, 8] > 0
 
         fL, fR, sm, xy_un, disp = frontend._build_impl(
-            imL, imR, maskL, maskR, with_disparity=with_disparity)
+            imL, imR, maskL, maskR, torso_px, with_disparity=with_disparity)
         isig = inv_sigma2[fL.octave]
 
         def motion(th):

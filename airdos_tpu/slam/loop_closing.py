@@ -400,15 +400,24 @@ class LoopCloser:
             jnp.ones(E, jnp.float32), jnp.ones(E, bool))
         R_out = np.asarray(R_out)
         t_out = np.asarray(t_out)
-        # correct points via their reference keyframes, then write KF poses
-        for pid in pt.live_ids():
-            ref = int(pt.ref_kf[pid])
-            i = index.get(ref)
-            if i is None:
-                continue
-            R_old, t_old = kfs[i].Rcw, kfs[i].tcw
-            xc = R_old @ pt.pos[pid] + t_old
-            pt.pos[pid] = R_out[i].T @ (xc - t_out[i])
+        # correct points via their reference keyframes (batched), then
+        # write KF poses
+        live = np.asarray(list(pt.live_ids()), np.int64)
+        if live.size:
+            max_id = max(index) + 1
+            lut = np.full(max_id + 1, -1, np.int64)
+            for kid, i in index.items():
+                lut[kid] = i
+            refs = pt.ref_kf[live].astype(np.int64)
+            refs = np.where((refs >= 0) & (refs <= max_id), refs, max_id)
+            ki = lut[refs]
+            sel = ki >= 0
+            live, ki = live[sel], ki[sel]
+            R_old = np.stack([kfs[i].Rcw for i in range(len(kfs))])
+            t_old = np.stack([kfs[i].tcw for i in range(len(kfs))])
+            xc = np.einsum("nij,nj->ni", R_old[ki], pt.pos[live]) + t_old[ki]
+            pt.pos[live] = np.einsum(
+                "nji,nj->ni", R_out[ki], xc - t_out[ki])
         for i, k in enumerate(kfs):
             k.set_pose(R_out[i], t_out[i])
         kf.loop_edges.add(cand_id)

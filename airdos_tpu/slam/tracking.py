@@ -320,6 +320,9 @@ class Tracking:
                          and len(data.humans_left) > 0
                          and not (cfg.system.is_ground_truth_depth
                                   and data.depth is not None))
+        from airdos_tpu.slam.frame import MAX_HUMANS, N_TORSO, torso_pixels
+        torso_px = torso_pixels(data.humans_left) if want_disp else \
+            np.full((MAX_HUMANS * N_TORSO, 2), -1.0, np.float32)
 
         prior_pack = np.concatenate([Rp.reshape(-1), tp]).astype(np.float32)
         Np = lf.n_slots
@@ -338,6 +341,7 @@ class Tracking:
         cand_f32[:, 8] = valid_c
 
         res = self._full_step(imL, imR, maskL, maskR,
+                              jnp.asarray(torso_px),
                               jnp.asarray(prior_pack),
                               jnp.asarray(last_f32), jnp.asarray(desc_p),
                               jnp.asarray(cand_f32), jnp.asarray(desc_c),
