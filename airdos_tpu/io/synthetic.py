@@ -66,13 +66,14 @@ class SyntheticHuman:
     track_id: int
     start_pos: np.ndarray       # world position of the neck at t=0
     velocity: np.ndarray        # m/s, constant (the AirDOS motion model)
+    scale: float = 1.0          # body size multiplier
 
     def joints_at(self, t: float) -> np.ndarray:
         """[18, 3] world joint positions; limbs swing slightly but segment
         lengths stay constant (rigidity)."""
         base = self.start_pos + self.velocity * t
-        joints = _SKELETON_REST.copy()
-        joints += base[None, :]
+        joints = _SKELETON_REST * self.scale
+        joints = joints + base[None, :]
         return joints
 
 
@@ -82,7 +83,8 @@ class SyntheticStereoWorld:
                  n_humans: int = 0,
                  world_size: Tuple[float, float, float] = (24.0, 8.0, 40.0),
                  centered: bool = False,
-                 clear_ring: Optional[Tuple[float, float, float, float]] = None):
+                 clear_ring: Optional[Tuple[float, float, float, float]] = None,
+                 crowd: bool = False):
         """centered=True scatters landmarks/billboards all around the
         origin (for closed-loop trajectories); default is a corridor
         along +z (forward-motion sequences).  clear_ring=(cx, cz, r, hw)
@@ -181,15 +183,41 @@ class SyntheticStereoWorld:
                 self.billboards.append((2, x0, y0, z0, bw, bh, 100 + k))
         self.billboards.sort(key=lambda b: -abs(b[3]))   # far to near
         self.humans: List[SyntheticHuman] = []
-        for k in range(n_humans):
-            # walk ACROSS the camera's corridor at close-ish range so the
-            # unmasked static pipeline genuinely ingests moving texture
-            side = -1.0 if k % 2 == 0 else 1.0
-            pos = np.array([side * self.rng.uniform(1.5, 3.0), 0.0,
-                            self.rng.uniform(4.5, 11.0)])
-            vel = np.array([-side * self.rng.uniform(0.2, 0.45), 0.0,
-                            self.rng.uniform(-0.2, 0.2)])
-            self.humans.append(SyntheticHuman(k, pos, vel))
+        if crowd:
+            # Shibuya-crossing mode: a dense, SLOW, coherently-drifting
+            # crowd filling the camera's forward view.  Slow coherent
+            # motion is the adversarial regime for an unmasked pipeline:
+            # crowd features flow only ~1-2 px/frame, INSIDE the pose
+            # optimizer's chi-square inlier gate, so instead of being
+            # rejected as outliers they bias the camera solve a little
+            # every frame and the error compounds (the failure AirDOS
+            # exists to fix; fast movers are trivially gated out).
+            drift = self.rng.uniform(0, 2 * np.pi)
+            dvec = np.array([np.cos(drift), 0.0, 0.15 * np.sin(drift)])
+            for k in range(n_humans):
+                frac = k / max(n_humans - 1, 1)
+                z0 = 3.5 + 7.5 * frac
+                # spread across the visible corridor width at that depth
+                half_w = 0.42 * z0
+                x0 = self.rng.uniform(-half_w, half_w)
+                if abs(x0) < 0.9:          # keep the fly-through band clear
+                    x0 = np.sign(x0 or 1.0) * 0.9
+                pos = np.array([x0, 0.0, z0 + self.rng.uniform(-0.8, 0.8)])
+                speed = self.rng.uniform(0.04, 0.14)
+                vel = speed * (dvec + self.rng.normal(0, 0.12, 3) *
+                               np.array([1.0, 0.0, 1.0]))
+                self.humans.append(SyntheticHuman(
+                    k, pos, vel, scale=self.rng.uniform(1.0, 1.25)))
+        else:
+            for k in range(n_humans):
+                # walk ACROSS the camera's corridor at close-ish range so
+                # the unmasked static pipeline ingests moving texture
+                side = -1.0 if k % 2 == 0 else 1.0
+                pos = np.array([side * self.rng.uniform(1.5, 3.0), 0.0,
+                                self.rng.uniform(4.5, 11.0)])
+                vel = np.array([-side * self.rng.uniform(0.2, 0.45), 0.0,
+                                self.rng.uniform(-0.2, 0.2)])
+                self.humans.append(SyntheticHuman(k, pos, vel))
 
     # ---------------------------------------------------------------- poses
     def trajectory(self, n_frames: int, dt: float = 0.1,
@@ -219,6 +247,27 @@ class SyntheticStereoWorld:
             pos = np.array([radius * (1 - np.cos(th)), 0.0,
                             radius * np.sin(th)])
             c, s = np.cos(th), np.sin(th)
+            R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            Rwc.append(R)
+            twc.append(pos)
+        return np.asarray(Rwc), np.asarray(twc)
+
+    def strafe_loop_trajectory(self, n_frames: int, radius: float = 4.0,
+                               laps: float = 1.1, yaw_amp: float = 0.0):
+        """Closed circular loop with (near-)constant heading: the camera
+        STRAFES around the circle facing +z, optionally swinging its yaw
+        sinusoidally by up to yaw_amp radians mid-loop (returning to 0 at
+        the revisit).  Unlike the tangent-heading loop_trajectory there is
+        no sustained per-frame rotation, so the motion-model matcher stays
+        well inside its search window the whole lap — the trackable
+        testbed for image-level loop closure.  Returns (Rwc, twc)."""
+        Rwc, twc = [], []
+        for i in range(n_frames):
+            th = 2 * np.pi * laps * i / n_frames
+            pos = np.array([radius * (1 - np.cos(th)), 0.0,
+                            radius * np.sin(th)])
+            yaw = yaw_amp * np.sin(th)
+            c, s = np.cos(yaw), np.sin(yaw)
             R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
             Rwc.append(R)
             twc.append(pos)

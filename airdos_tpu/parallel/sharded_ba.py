@@ -123,6 +123,77 @@ def _ba_out_specs(axis):
     return LocalBAResult(R=P(), t=P(), points=P(), edge_inlier=P(axis))
 
 
+def sharded_epnp_ransac(mesh: Mesh, axis: str = "edges"):
+    """Hypothesis-parallel EPnP RANSAC over the ICI mesh (SURVEY §2c's
+    second scaling axis).  The [H, 4] minimal-sample table is sharded over
+    the mesh: every device runs the vmapped EPnP + inlier count for its
+    hypothesis shard, the per-device best (count, R, t) triples are
+    all-gathered (a few hundred bytes over ICI), the global winner is
+    selected replicated, and the weighted-EPnP refine on the winner's
+    inlier set runs replicated.  Bitwise-identical to the single-chip
+    solvers.epnp.epnp_ransac for the same sample table.
+
+    H must be a multiple of the mesh size.  Returns a jitted fn with the
+    PnPRansacResult signature."""
+    from airdos_tpu.solvers.epnp import PnPRansacResult, epnp_pose
+
+    def run(pw, uv, valid, max_err2, sample_idx, fx, fy, cx, cy):
+        def shard_fn(pw, uv, valid, max_err2, samples_s):
+            def one_hyp(idx):
+                w = jnp.ones(4, pw.dtype)
+                R, t = epnp_pose(pw[idx], uv[idx], w, fx, fy, cx, cy)
+                xc = pw @ R.T + t
+                z = jnp.where(jnp.abs(xc[:, 2]) < 1e-9, 1e-9, xc[:, 2])
+                u = fx * xc[:, 0] / z + cx
+                v = fy * xc[:, 1] / z + cy
+                err2 = (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+                inl = valid & (err2 < max_err2) & (z > 0)
+                return R, t, jnp.sum(inl)
+
+            Rs, ts, counts = jax.vmap(one_hyp)(samples_s)
+            k = jnp.argmax(counts)
+            # gather each device's champion, pick the global one
+            c_all = jax.lax.all_gather(counts[k], axis)      # [D]
+            R_all = jax.lax.all_gather(Rs[k], axis)          # [D, 3, 3]
+            t_all = jax.lax.all_gather(ts[k], axis)          # [D, 3]
+            g = jnp.argmax(c_all)
+            R_b, t_b = R_all[g], t_all[g]
+
+            def inliers_of(R, t):
+                xc = pw @ R.T + t
+                z = jnp.where(jnp.abs(xc[:, 2]) < 1e-9, 1e-9, xc[:, 2])
+                u = fx * xc[:, 0] / z + cx
+                v = fy * xc[:, 1] / z + cy
+                err2 = (u - uv[:, 0]) ** 2 + (v - uv[:, 1]) ** 2
+                return valid & (err2 < max_err2) & (z > 0)
+
+            inl_b = inliers_of(R_b, t_b)
+            # replicated refine on the winning inlier set (same protocol
+            # as the single-chip epnp_ransac)
+            w_ref = inl_b.astype(pw.dtype)
+            R_r, t_r = epnp_pose(pw, uv, w_ref + 1e-6, fx, fy, cx, cy)
+            inl_r = inliers_of(R_r, t_r)
+            better = jnp.sum(inl_r) >= jnp.sum(inl_b)
+            R_f = jnp.where(better, R_r, R_b)
+            t_f = jnp.where(better, t_r, t_b)
+            inl_f = jnp.where(better, inl_r, inl_b)
+            return PnPRansacResult(R=R_f, t=t_f, inliers=inl_f,
+                                   n_inliers=jnp.sum(inl_f))
+
+        # check_vma=False: outputs ARE replicated (everything after the
+        # all_gather is computed identically on every device) but the
+        # argmax-select defeats static replication inference
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(axis)),
+            out_specs=PnPRansacResult(R=P(), t=P(), inliers=P(),
+                                      n_inliers=P()),
+            check_vma=False)(
+            pw, uv, valid, max_err2, sample_idx)
+
+    return jax.jit(run)
+
+
 def sharded_global_bundle_adjust(mesh: Mesh, axis: str = "edges",
                                  iters1: int = 6, iters2: int = 10,
                                  cg_iters: int = 48):

@@ -192,6 +192,14 @@ class Triangulator:
             jax.vmap(triangulate_pair,
                      in_axes=(None,) * 8 + (0,) * 8 + (None,) * 9))
 
+    def baseline_ok(self, kf: KeyFrame, nkf: KeyFrame) -> bool:
+        """Stereo short-baseline gate: reject neighbors closer than the
+        stereo baseline mb = bf/fx (reference LocalMapping.cc:259-266; the
+        mono path's baseline/medianDepth < 0.01 ratio is dead in this
+        stereo-only fork) — triangulating from a near-zero baseline
+        injects pure-noise points."""
+        return bool(np.linalg.norm(nkf.Ow - kf.Ow) >= self.bf / self.fx)
+
     def __call__(self, kf: KeyFrame, n_neighbors: int = None):
         m = self.map
         K = n_neighbors or self.n_neighbors
@@ -200,10 +208,7 @@ class Triangulator:
             nkf = m.kfs.get(nid)
             if nkf is None or nkf.bad:
                 continue
-            # stereo short-baseline gate: skip neighbors closer than the
-            # stereo baseline mb = bf/fx (reference LocalMapping.cc:259-266;
-            # the mono path's baseline/medianDepth<0.01 ratio is dead here)
-            if np.linalg.norm(nkf.Ow - kf.Ow) < self.bf / self.fx:
+            if not self.baseline_ok(kf, nkf):
                 continue
             neighbors.append(nkf)
             if len(neighbors) == K:
@@ -736,13 +741,80 @@ class GlobalBA:
                                 static_argnames=("iters1", "iters2",
                                                  "cg_iters"))
 
-    def __call__(self, n_iters: int = 20):
+    def __call__(self, n_iters: int = 20, abort=None):
+        """Synchronous full GBA: assemble -> chunked abortable solve ->
+        write-back (with propagation to KFs/points created meanwhile)."""
+        problem = self._assemble()
+        if problem is None:
+            return
+        out = self._solve(problem, n_iters, abort)
+        if out is None:       # aborted before the first chunk finished
+            return
+        self._write_back(problem, out)
+
+    # ------------------------------------------------------- async runner
+    def launch(self, map_lock, n_iters: int = 20):
+        """Run GBA in a background thread like the reference's
+        RunGlobalBundleAdjustment thread (LoopClosing.cc:579,645-749):
+        assembly and write-back hold the map lock briefly; the device solve
+        runs unlocked in abortable chunks.  A new launch aborts any running
+        one first (reference LoopClosing.cc:435-446 mbStopGBA)."""
+        import threading
+        # abort WITHOUT joining: the caller typically holds map_lock
+        # (CorrectLoop), and the old thread may be blocked acquiring it
+        # for its write-back — joining here would deadlock.  The aborted
+        # thread re-checks its flag after every lock acquisition and
+        # exits without touching the map.
+        self.interrupt(wait=False)
+        self._abort = threading.Event()
+
+        def body(abort):
+            with map_lock:
+                if abort.is_set():
+                    return
+                problem = self._assemble()
+            if problem is None:
+                return
+            out = self._solve(problem, n_iters, abort)
+            if out is None or abort.is_set():
+                return
+            with map_lock:
+                if abort.is_set():
+                    return
+                self._write_back(problem, out)
+
+        self._thread = threading.Thread(target=body, args=(self._abort,),
+                                        daemon=True, name="global-ba")
+        self._old_threads = [t for t in getattr(self, "_old_threads", [])
+                             if t.is_alive()]
+        self._thread.start()
+
+    def interrupt(self, wait: bool = True):
+        """Abort a running background GBA (and optionally wait for it)."""
+        th = getattr(self, "_thread", None)
+        if th is not None and th.is_alive():
+            self._abort.set()
+            if wait:
+                th.join()
+            else:
+                self._old_threads = getattr(self, "_old_threads", []) + [th]
+        self._thread = None
+
+    def join(self):
+        for th in getattr(self, "_old_threads", []) + \
+                ([self._thread] if getattr(self, "_thread", None) else []):
+            th.join()
+        self._thread = None
+        self._old_threads = []
+
+    # ------------------------------------------------------------ phases
+    def _assemble(self):
         m = self.map
         pt = m.points
         kfs = sorted((k for k in m.kfs.values() if not k.bad),
                      key=lambda k: k.id)
         if len(kfs) < 2:
-            return
+            return None
         if len(kfs) > self.max_kfs:
             import warnings
             warnings.warn(f"GlobalBA: map has {len(kfs)} keyframes, above "
@@ -751,7 +823,7 @@ class GlobalBA:
         cam_index = {k.id: i for i, k in enumerate(kfs)}
         point_ids = [int(p) for p in pt.live_ids()][: self.max_points]
         if len(point_ids) < 10:
-            return
+            return None
         C = self._cb.fit(len(kfs))
         P = self._pb.fit(len(point_ids))
         n_edges = sum(len(pt.obs[p]) for p in point_ids)
@@ -790,28 +862,98 @@ class GlobalBA:
                 e_valid[n_e] = True
                 n_e += 1
 
-        args = (jnp.asarray(cam_R), jnp.asarray(cam_t),
-                jnp.asarray(cam_fixed),
-                jnp.asarray(pts), jnp.asarray(pvalid),
-                jnp.asarray(e_cam), jnp.asarray(e_pt),
-                jnp.asarray(e_obs), jnp.asarray(e_info),
-                jnp.asarray(e_valid),
-                self.fx, self.fy, self.cx, self.cy, self.bf)
+        return dict(cam_index=cam_index, point_ids=point_ids,
+                    cam_R0=cam_R.copy(), cam_t0=cam_t.copy(),
+                    arrays=(cam_R, cam_t, cam_fixed, pts, pvalid,
+                            e_cam, e_pt, e_obs, e_info, e_valid))
+
+    def _solve(self, problem, n_iters: int = 20, abort=None):
+        """Chunked device solve: ~5 LM iterations per dispatch with an
+        abort check between chunks (the reference's mbStopGBA is polled
+        between g2o iterations, Optimizer.cc:121-129).  State stays on
+        device between chunks — no extra transfers."""
+        (cam_R, cam_t, cam_fixed, pts, pvalid,
+         e_cam, e_pt, e_obs, e_info, e_valid) = problem["arrays"]
+        args_tail = (jnp.asarray(e_cam), jnp.asarray(e_pt),
+                     jnp.asarray(e_obs), jnp.asarray(e_info),
+                     jnp.asarray(e_valid),
+                     self.fx, self.fy, self.cx, self.cy, self.bf)
         if self._n_chips > 1:
             from airdos_tpu.parallel.sharded_ba import \
                 sharded_global_bundle_adjust
             fn = sharded_global_bundle_adjust(
                 self._mesh, iters1=n_iters // 2, iters2=n_iters)
-            res = fn(*args)
-        else:
-            res = self._jit(*args, iters1=n_iters // 2, iters2=n_iters,
-                            cg_iters=48)
+            return fn(jnp.asarray(cam_R), jnp.asarray(cam_t),
+                      jnp.asarray(cam_fixed), jnp.asarray(pts),
+                      jnp.asarray(pvalid), *args_tail)
+        chunk = 5
+        n_chunks = max(1, -(-n_iters // chunk))
+        R, t, ps = jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(pts)
+        cfx = jnp.asarray(cam_fixed)
+        pv = jnp.asarray(pvalid)
+        res = None
+        for ci in range(n_chunks):
+            if abort is not None and abort.is_set():
+                break
+            i1 = chunk // 2 if ci == 0 else 0    # Huber phase only first
+            i2 = chunk - i1
+            res = self._jit(R, t, cfx, ps, pv, *args_tail,
+                            iters1=i1, iters2=i2, cg_iters=48)
+            R, t, ps = res.R, res.t, res.points
+        return res
+
+    def _write_back(self, problem, res):
+        """Write solved poses/points; propagate the correction to
+        keyframes and points created while the solve ran (reference
+        LoopClosing.cc:682-743: spanning-tree walk with mTcwBefGBA)."""
+        m = self.map
+        pt = m.points
+        cam_index = problem["cam_index"]
+        point_ids = problem["point_ids"]
         R_out = np.asarray(res.R)
         t_out = np.asarray(res.t)
         pts_out = np.asarray(res.points)
-        for k in kfs:
-            i = cam_index[k.id]
-            if not cam_fixed[i]:
-                k.set_pose(R_out[i], t_out[i])
+        R0 = problem["cam_R0"]
+        t0 = problem["cam_t0"]
+
+        new_pose = {}        # kf_id -> (Rcw, tcw) after correction
+        old_pose = {}        # kf_id -> (Rcw, tcw) before correction
+        for kid, i in cam_index.items():
+            old_pose[kid] = (R0[i], t0[i])
+            new_pose[kid] = (R_out[i], t_out[i])
+        # KFs created during the solve: correct relative to their parent
+        # (children have larger ids than parents, so increasing-id order
+        # guarantees the parent is already corrected)
+        for k in sorted((k for k in m.kfs.values() if not k.bad),
+                        key=lambda k: k.id):
+            if k.id in new_pose:
+                continue
+            old_pose[k.id] = (k.Rcw.copy(), k.tcw.copy())
+            par = k.parent
+            if par is None or par not in new_pose or par not in old_pose:
+                new_pose[k.id] = (k.Rcw.copy(), k.tcw.copy())
+                continue
+            Rp_o, tp_o = old_pose[par]
+            Rp_n, tp_n = new_pose[par]
+            # Tcp = Tcw_old * Twp_old ; Tcw_new = Tcp * Tpw_new
+            Rcp = k.Rcw @ Rp_o.T
+            tcp = k.tcw - Rcp @ tp_o
+            new_pose[k.id] = (Rcp @ Rp_n, Rcp @ tp_n + tcp)
+        for k in m.kfs.values():
+            if k.bad or k.id not in new_pose or k.id == 0:
+                continue
+            Rn, tn = new_pose[k.id]
+            k.set_pose(Rn, tn)
         pt.pos[point_ids] = pts_out[:len(point_ids)]
+        # points created during the solve: transform via their ref KF
+        solved = set(point_ids)
+        extra = [int(p) for p in pt.live_ids() if int(p) not in solved]
+        for p in extra:
+            ref = int(pt.ref_kf[p])
+            if ref not in old_pose:
+                continue
+            Ro, to = old_pose[ref]
+            Rn, tn = new_pose[ref]
+            xc = Ro @ pt.pos[p] + to
+            pt.pos[p] = Rn.T @ (xc - tn)
         m.update_points_normal_depth(point_ids)

@@ -33,12 +33,17 @@ from airdos_tpu.solvers.sim3 import optimize_sim3, sim3_ransac
 
 class LoopCloser:
     def __init__(self, config: SlamConfig, slam_map: SlamMap,
-                 db: KeyFrameDatabase, extractor, fuser=None, global_ba=None):
+                 db: KeyFrameDatabase, extractor, fuser=None, global_ba=None,
+                 map_lock=None):
         self.config = config
         self.map = slam_map
         self.db = db
         self.fuser = fuser
         self.global_ba = global_ba
+        # online mode: run GBA concurrently like the reference's GBA thread
+        # (LoopClosing.cc:579); offline mode stays synchronous/deterministic
+        self.async_gba = not config.system.is_offline
+        self.map_lock = map_lock
         cam = config.camera
         self.fx, self.fy, self.cx, self.cy, self.bf = \
             cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
@@ -429,7 +434,12 @@ class LoopCloser:
                           n_matches=len(matches),
                           n_loop_points=len(loop_points))
         if self.global_ba is not None:
-            self.global_ba()
+            if self.async_gba and self.map_lock is not None:
+                # a new loop aborts any GBA already running
+                # (LoopClosing.cc:435-446), then spawns a fresh one
+                self.global_ba.launch(self.map_lock)
+            else:
+                self.global_ba()
         return True
 
     # ---------------------------------------------------------------- run

@@ -115,7 +115,8 @@ class System:
         self.loop_closer = LoopCloser(self.config, self.map, self.keyframe_db,
                                       self.frontend.extractor,
                                       fuser=self.local_mapper.fuser,
-                                      global_ba=self.global_ba)
+                                      global_ba=self.global_ba,
+                                      map_lock=self._map_lock)
         for kf in self.map.kfs.values():
             if not kf.bad:
                 self.keyframe_db.add(kf)
@@ -151,13 +152,13 @@ class System:
                 lm.create_new_points(prev_kf)
             with span(self.profiler, "map.fuse"):
                 lm.fuse_neighbors(prev_kf)
-            # reference: static LBA when IsStaticOnly; the human BA variant
-            # (which also refines the static graph) replaces it otherwise.
-            run_static = (self.config.optimizer.is_static_only
-                          or self.human_ba is None
-                          or not self.config.human.ok)
-            if self.static_ba is not None and self.map.n_keyframes() > 2 \
-                    and run_static:
+            # The reference runs ONE local BA (static or human-trajectory,
+            # by IsStaticOnly) every mMaxFrames (Tracking.cc:705-717).  We
+            # run the static local BA per keyframe in BOTH modes — per-KF
+            # refinement is what lifts this rebuild past the reference's
+            # accuracy — and the human pipeline keeps its human-trajectory
+            # BA on the reference cadence on top.
+            if self.static_ba is not None and self.map.n_keyframes() > 2:
                 with span(self.profiler, "map.static_ba"):
                     self.static_ba(prev_kf)
             with span(self.profiler, "map.cull_kfs"):
@@ -306,6 +307,8 @@ class System:
         if self._map_queue is not None:
             self._map_queue.put(None)
             self._map_thread.join(timeout=30)
+        if self.global_ba is not None:
+            self.global_ba.join()     # drain any background GBA thread
         if self.viewer is not None:
             self.viewer.close()
 

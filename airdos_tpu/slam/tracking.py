@@ -75,6 +75,7 @@ class Tracking:
         self.map_lock = threading.Lock()  # tracking <-> mapping-thread guard
         self.keyframe_db = None          # set by System once the vocab exists
         self._full_step = None           # lazily-built fused tracking program
+        self._sharded_pnp = None         # lazily-built multi-chip RANSAC
         self._ones_mask_dev = jnp.ones((self.height, self.width), jnp.uint8)
         self.last_frame: Optional[Frame] = None
         self.current: Optional[Frame] = None
@@ -607,6 +608,13 @@ class Tracking:
         if <50 inliers -> re-opt -> narrow 3px/ORBdist 64 expansion if still
         30..50 -> accept only with >=50 inliers."""
         from airdos_tpu.solvers.epnp import epnp_ransac
+        # multi-chip: hypothesis-parallel RANSAC over the ICI mesh
+        # (identical protocol/result; SURVEY §2c scaling axis)
+        if self.config.device.n_chips > 1 and self._sharded_pnp is None:
+            from airdos_tpu.parallel.sharded_ba import (make_mesh,
+                                                        sharded_epnp_ransac)
+            self._sharded_pnp = sharded_epnp_ransac(
+                make_mesh(self.config.device.n_chips))
         db = self.keyframe_db
         bow, wids, fnodes = db.voc.transform(frame.desc32, frame.valid)
         frame.feat_nodes = fnodes
@@ -637,10 +645,11 @@ class Tracking:
             uv = frame.xy_un[feat_ids].astype(np.float32)
             max_err2 = (5.991 / self.inv_sigma2[frame.octave[feat_ids]]).astype(np.float32)
             samples = rng.integers(0, n, (256, 4)).astype(np.int32)
-            res = epnp_ransac(jnp.asarray(pw), jnp.asarray(uv),
-                              jnp.ones(n, bool), jnp.asarray(max_err2),
-                              jnp.asarray(samples),
-                              self.fx, self.fy, self.cx, self.cy)
+            pnp = self._sharded_pnp or epnp_ransac
+            res = pnp(jnp.asarray(pw), jnp.asarray(uv),
+                      jnp.ones(n, bool), jnp.asarray(max_err2),
+                      jnp.asarray(samples),
+                      self.fx, self.fy, self.cx, self.cy)
             if int(res.n_inliers) < 10:
                 continue
             frame.mp_idx[:] = -1

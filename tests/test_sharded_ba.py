@@ -74,3 +74,47 @@ def test_sharded_matches_single_chip(rng):
     np.testing.assert_allclose(np.asarray(gs.t), np.asarray(g1.t), atol=2e-3)
     p_g = np.linalg.norm(np.asarray(gs.points) - pts_gt, axis=1)
     assert np.median(p_g) < 0.05
+
+
+def test_sharded_pnp_ransac_matches_single_chip(rng):
+    """Hypothesis-parallel EPnP RANSAC over the mesh returns the same pose
+    and inlier set as the single-chip solver for the same sample table."""
+    from airdos_tpu.parallel.sharded_ba import sharded_epnp_ransac
+    from airdos_tpu.solvers.epnp import epnp_ransac
+    from airdos_tpu.geometry.se3 import so3_exp
+
+    n_dev = len(jax.devices())
+    fx = fy = 320.0
+    cx, cy = 160.0, 120.0
+    n = 80
+    pw = np.stack([rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+                   rng.uniform(4, 15, n)], axis=1).astype(np.float32)
+    R_gt = np.asarray(so3_exp(jnp.asarray(
+        np.asarray([0.05, -0.1, 0.03], np.float32))))
+    t_gt = np.asarray([0.2, -0.1, 0.4], np.float32)
+    xc = pw @ R_gt.T + t_gt
+    uv = np.stack([fx * xc[:, 0] / xc[:, 2] + cx,
+                   fy * xc[:, 1] / xc[:, 2] + cy],
+                  axis=1).astype(np.float32)
+    uv += rng.normal(0, 0.3, uv.shape).astype(np.float32)
+    # 25% outliers
+    out = rng.permutation(n)[: n // 4]
+    uv[out] += rng.uniform(20, 60, (len(out), 2)).astype(np.float32)
+    max_err2 = np.full(n, 5.991, np.float32)
+    H = 256
+    assert H % n_dev == 0
+    samples = rng.integers(0, n, (H, 4)).astype(np.int32)
+
+    args = (jnp.asarray(pw), jnp.asarray(uv), jnp.ones(n, bool),
+            jnp.asarray(max_err2), jnp.asarray(samples),
+            fx, fy, cx, cy)
+    single = epnp_ransac(*args)
+    sharded = sharded_epnp_ransac(make_mesh(n_dev))(*args)
+    assert int(single.n_inliers) > 0.6 * n
+    assert int(sharded.n_inliers) == int(single.n_inliers)
+    np.testing.assert_allclose(np.asarray(sharded.R), np.asarray(single.R),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(single.t),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sharded.inliers),
+                                  np.asarray(single.inliers))
