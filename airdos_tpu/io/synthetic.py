@@ -84,6 +84,7 @@ class SyntheticStereoWorld:
                  world_size: Tuple[float, float, float] = (24.0, 8.0, 40.0),
                  centered: bool = False,
                  clear_ring: Optional[Tuple[float, float, float, float]] = None,
+                 ring_outside_only: bool = False,
                  crowd: bool = False):
         """centered=True scatters landmarks/billboards all around the
         origin (for closed-loop trajectories); default is a corridor
@@ -102,9 +103,10 @@ class SyntheticStereoWorld:
                 # track cylinder itself kept clear of fly-through features
                 cx0, cz0, r0, hw = clear_ring
                 ang = self.rng.uniform(0, 2 * np.pi, n_points)
-                off = (hw + (wz / 2 - hw) *
-                       self.rng.uniform(0, 1, n_points) ** 2) * \
+                sign = np.ones(n_points) if ring_outside_only else \
                     self.rng.choice([-1.0, 1.0], n_points)
+                off = (hw + (wz / 2 - hw) *
+                       self.rng.uniform(0, 1, n_points) ** 2) * sign
                 rr = np.maximum(r0 + off, 0.3)
                 pts = np.stack([
                     cx0 + rr * np.cos(ang),
@@ -159,6 +161,23 @@ class SyntheticStereoWorld:
         # along `axis` (0 = x-plane, 2 = z-plane) at coordinate c0; (a0, y0)
         # is the patch centre in the in-plane axes
         self.billboards = []
+        if centered and clear_ring is not None:
+            # textured ROOM around the ring track: four full-height walls.
+            # A bare dot field is self-similar — under LATERAL motion a
+            # dot mismatched to its neighbour along the flow direction is
+            # consistent with a wrong translation and hijacks the pose
+            # (the corridor world's billboards are what make it stable).
+            # Unique hashed wall texture at 3-7 m gives the strafing
+            # camera corridor-quality stereo matches at every heading.
+            cx0, cz0, r0, _hw = clear_ring
+            wall_r = r0 + 3.2
+            span = 2 * wall_r + 2.0
+            for wi, (axis, c0) in enumerate([
+                    (0, cx0 - wall_r), (0, cx0 + wall_r),
+                    (2, cz0 - wall_r), (2, cz0 + wall_r)]):
+                a0 = cz0 if axis == 0 else cx0
+                self.billboards.append((axis, a0, 0.2, c0, span, 5.0,
+                                        900 + wi))
         if centered:
             for k in range(120):
                 axis = 2 if k % 2 == 0 else 0
@@ -252,6 +271,27 @@ class SyntheticStereoWorld:
             twc.append(pos)
         return np.asarray(Rwc), np.asarray(twc)
 
+    def orbit_loop_trajectory(self, n_frames: int, radius: float = 1.35,
+                              laps: float = 1.1):
+        """Closed loop with the camera ORBITING its ring facing the ring
+        center: the classic well-conditioned object-scan motion (the
+        cleared path tube is never in view, close structure never flies
+        by), while the visible far side rotates with the camera so
+        covisibility with the start decays mid-lap and revisiting the
+        start pose is a genuine loop-closure event.  Heading rotates
+        uniformly (2*pi*laps/n_frames per frame).  Returns (Rwc, twc)."""
+        Rwc, twc = [], []
+        for i in range(n_frames):
+            th = 2 * np.pi * laps * i / n_frames
+            pos = np.array([radius * (1 - np.cos(th)), 0.0,
+                            radius * np.sin(th)])
+            yaw = th + np.pi / 2           # look dir = (cos th, 0, -sin th)
+            c, s = np.cos(yaw), np.sin(yaw)
+            R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            Rwc.append(R)
+            twc.append(pos)
+        return np.asarray(Rwc), np.asarray(twc)
+
     def strafe_loop_trajectory(self, n_frames: int, radius: float = 4.0,
                                laps: float = 1.1, yaw_amp: float = 0.0):
         """Closed circular loop with (near-)constant heading: the camera
@@ -266,7 +306,11 @@ class SyntheticStereoWorld:
             th = 2 * np.pi * laps * i / n_frames
             pos = np.array([radius * (1 - np.cos(th)), 0.0,
                             radius * np.sin(th)])
-            yaw = yaw_amp * np.sin(th)
+            # yaw ramps 0 -> yaw_amp at mid-loop -> back to 0 at the
+            # revisit: maximum heading decorrelation from the start view
+            # exactly when covisibility should break, at HALF the peak
+            # yaw rate of a sin(th) swing
+            yaw = yaw_amp * 0.5 * (1.0 - np.cos(th))
             c, s = np.cos(yaw), np.sin(yaw)
             R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
             Rwc.append(R)
@@ -386,7 +430,16 @@ class SyntheticStereoWorld:
         px = ow[0] + tc * d_w[..., 0]
         py = ow[1] + tc * d_w[..., 1]
         pz = ow[2] + tc * d_w[..., 2]
-        footprint = tc * np.linalg.norm(d_cam, axis=-1) / fx
+        # mip footprint in FINAL-resolution pixels (x ss), stretched by
+        # 1/cos(incidence): the box downsample only averages — texture
+        # content must already be band-limited at the output scale, and on
+        # OBLIQUE surfaces the along-surface footprint grows by the slant
+        # factor (unaccounted, a wall seen near-edge-on renders ~1-px
+        # aliased noise — systematic stereo bias on slanted views)
+        d_len = np.linalg.norm(d_cam, axis=-1)
+        n_comp = np.where(is_ground, np.abs(dg), np.abs(dz))
+        slant = np.clip(d_len / np.maximum(n_comp, 1e-6), 1.0, 20.0)
+        footprint = tc * d_len / fx * ss * slant
         tex_g = self._value_noise(px, pz, seed=7, footprint=footprint)
         tex_w = self._value_noise(px, py, seed=11, footprint=footprint)
         shade = 40 + 180 * np.where(is_ground, tex_g, tex_w)
@@ -438,7 +491,9 @@ class SyntheticStereoWorld:
                 continue
             if d_norm is None:
                 d_norm = np.linalg.norm(d_cam, axis=-1)
-            fp = tb * d_norm[v0:v1, u0:u1] / fx
+            dl = d_norm[v0:v1, u0:u1]
+            slant_b = np.clip(dl / np.maximum(np.abs(dn), 1e-6), 1.0, 20.0)
+            fp = tb * dl / fx * ss * slant_b
             tex = self._value_noise(ba, by, seed=seed, footprint=fp)
             img[v0:v1, u0:u1] = np.where(inside, 40 + 180 * tex,
                                          img[v0:v1, u0:u1])

@@ -84,6 +84,7 @@ class Tracking:
         # System.cc:288-296; Tracking mbOnlyTracking)
         self.only_tracking = False
         self.velocity: Optional[tuple] = None       # (R, t) of Tcl (cur<-last)
+        self.last_branch = "none"                   # which track path ran
         self.last_kf_id = -1
         self.last_reloc_frame = -1e9
         self.records: List[FrameRecord] = []
@@ -127,12 +128,15 @@ class Tracking:
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self.state = TrackState.NOT_INITIALIZED
             self._stereo_initialization(frame)
+            self.last_branch = "init"
         else:
             if fast_ok is not None:
                 ok = fast_ok
+                self.last_branch = "fast"
                 if not ok:
                     frame.mp_idx[:] = -1
                     ok = self._track_reference_keyframe(frame)
+                    self.last_branch = "fast->ref"
                     if ok:
                         ok = self._track_local_map(frame)
             else:
@@ -140,10 +144,13 @@ class Tracking:
                 if self.state == TrackState.OK:
                     if self.velocity is not None and not just_relocalized:
                         ok = self._track_with_motion_model(frame)
+                        self.last_branch = "motion"
                     if not ok:
                         ok = self._track_reference_keyframe(frame)
+                        self.last_branch = "ref"
                 else:
                     ok = self._relocalization(frame)
+                    self.last_branch = "reloc"
                 if ok:
                     ok = self._track_local_map(frame)
             if ok:
@@ -896,7 +903,16 @@ class Tracking:
             if len(rows) else 0
         n_close, n_unclose = self._tracked_close(frame)
         need_close = (n_close < 100) and (n_unclose > 70)
-        th_ref = 0.4 if n_kfs < 2 else 0.75
+        # The reference drops thRefRatio to 0.4 while the map has <2 KFs
+        # (Tracking.cc:1091) to avoid KF spam after the fragile MONO init.
+        # Stereo init creates a complete point set at KF0, and with the
+        # 0.4 ratio a scene whose close features leave the FOV before
+        # inliers fall below 40% of the reference count inserts NO second
+        # keyframe until tracking has already decayed (close points gone,
+        # first new KF lands on a drifted pose, drift compounds).  Keeping
+        # the stereo ratio at 0.75 from the start inserts KF1 while the
+        # pose is still sharp.
+        th_ref = 0.75
         frames_since = frame.index - self._kf_frame_index()
         c1a = frames_since >= self.max_frames
         c1b = frames_since >= self.min_frames
