@@ -211,25 +211,14 @@ def train_vocabulary(descriptors_u8: np.ndarray, k: int = 10, depth: int = 4,
     return voc
 
 
-def load_dbow2_text(path: str | Path) -> Vocabulary:
-    """Load the DBoW2 text format (first line: k L scoring weighting; then
-    one node per line: parent_id is_leaf d0..d31 weight), as written by
-    TemplatedVocabulary::saveToTextFile — the ORBvoc.txt format."""
-    with open(path) as f:
-        header = f.readline().split()
-        k, depth = int(header[0]), int(header[1])
-        parents, descs, wts, leaf = [], [], [], []
-        for line in f:
-            parts = line.split()
-            if len(parts) < 35:
-                continue
-            parents.append(int(parts[0]))
-            leaf.append(int(parts[1]) != 0)
-            descs.append([int(x) for x in parts[2:34]])
-            wts.append(float(parts[34]))
+def _from_node_records(k: int, depth: int, parents, descs_u8, wts, leaf
+                       ) -> Vocabulary:
+    """Assemble a Vocabulary from per-node records in DBoW2 file order
+    (node ids 1..n implied by order; word ids in leaf read order)."""
     n = len(parents) + 1   # + root
     node_desc = np.zeros((n, 32), np.uint8)
-    node_desc[1:] = np.asarray(descs, np.uint8)
+    if n > 1:
+        node_desc[1:] = np.asarray(descs_u8, np.uint8)
     children = np.full((n, k), -1, np.int32)
     child_count = np.zeros(n, np.int32)
     for i, p in enumerate(parents):
@@ -247,3 +236,73 @@ def load_dbow2_text(path: str | Path) -> Vocabulary:
     return Vocabulary(k=k, depth=depth, node_desc32=_pack_u32(node_desc),
                       children=children, word_id=word_id,
                       weights=np.asarray(weights, np.float32), n_words=w)
+
+
+def load_dbow2_binary(path: str | Path) -> Vocabulary:
+    """Load the DBoW2 binary format written by saveToBinaryFile /
+    Vocabulary/to_binary.cc (reference TemplatedVocabulary.h:1671-1716;
+    System.cc:56-67 loads .bin vocabularies): little-endian header
+    [u32 n_nodes_incl_root, u32 size_node, i32 k, i32 L, i32 scoring,
+    i32 weighting], then one 41-byte record per non-root node in id
+    order: [i32 parent, 32xu8 descriptor, f32 weight, u8 is_leaf]."""
+    raw = Path(path).read_bytes()
+    nb_nodes, size_node, k, depth, _scoring, _weighting = \
+        np.frombuffer(raw[:24], dtype="<u4, <u4, <i4, <i4, <i4, <i4")[0]
+    rec = np.dtype([("parent", "<i4"), ("desc", "u1", 32),
+                    ("weight", "<f4"), ("leaf", "u1")])
+    if size_node != rec.itemsize:
+        raise ValueError(f"unexpected DBoW2 node size {size_node}")
+    n_rec = (len(raw) - 24) // size_node
+    nodes = np.frombuffer(raw[24:24 + n_rec * size_node], dtype=rec)
+    return _from_node_records(int(k), int(depth),
+                              nodes["parent"].tolist(), nodes["desc"],
+                              nodes["weight"].tolist(),
+                              (nodes["leaf"] != 0).tolist())
+
+
+def save_dbow2_binary(voc: Vocabulary, path: str | Path):
+    """Write the DBoW2 binary format (see load_dbow2_binary).  Inverse of
+    the reference's saveToBinaryFile: node records in id order, scoring=0
+    (L1_NORM) and weighting=0 (TF_IDF) — the DBoW2 defaults used by
+    ORBvoc."""
+    n = len(voc.word_id)
+    parent = np.zeros(n, np.int32)
+    for nid in range(n):
+        for c in voc.children[nid]:
+            if c >= 0:
+                parent[c] = nid
+    desc_u8 = voc.node_desc32.view(np.uint8).reshape(n, 32) \
+        if voc.node_desc32.dtype == np.uint32 else voc.node_desc32
+    rec = np.dtype([("parent", "<i4"), ("desc", "u1", 32),
+                    ("weight", "<f4"), ("leaf", "u1")])
+    nodes = np.zeros(n - 1, dtype=rec)
+    nodes["parent"] = parent[1:]
+    nodes["desc"] = desc_u8[1:]
+    is_leaf = voc.word_id[1:] >= 0
+    nodes["leaf"] = is_leaf
+    wts = np.zeros(n - 1, np.float32)
+    wts[is_leaf] = voc.weights[voc.word_id[1:][is_leaf]]
+    nodes["weight"] = wts
+    with open(path, "wb") as f:
+        f.write(np.asarray([(n, rec.itemsize, voc.k, voc.depth, 0, 0)],
+                           dtype="<u4, <u4, <i4, <i4, <i4, <i4").tobytes())
+        f.write(nodes.tobytes())
+
+
+def load_dbow2_text(path: str | Path) -> Vocabulary:
+    """Load the DBoW2 text format (first line: k L scoring weighting; then
+    one node per line: parent_id is_leaf d0..d31 weight), as written by
+    TemplatedVocabulary::saveToTextFile — the ORBvoc.txt format."""
+    with open(path) as f:
+        header = f.readline().split()
+        k, depth = int(header[0]), int(header[1])
+        parents, descs, wts, leaf = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaf.append(int(parts[1]) != 0)
+            descs.append([int(x) for x in parts[2:34]])
+            wts.append(float(parts[34]))
+    return _from_node_records(k, depth, parents, descs, wts, leaf)

@@ -213,6 +213,10 @@ class SyntheticStereoWorld:
             # exists to fix; fast movers are trivially gated out).
             drift = self.rng.uniform(0, 2 * np.pi)
             dvec = np.array([np.cos(drift), 0.0, 0.15 * np.sin(drift)])
+            # the adversarial regime is defined in PIXELS (flow inside the
+            # ~2.4 px chi-square gate): scale metric speed with 1/fx so the
+            # same pixel flow arises at any rendering resolution
+            px_scale = 772.5 / self.cam.fx
             for k in range(n_humans):
                 frac = k / max(n_humans - 1, 1)
                 z0 = 3.5 + 7.5 * frac
@@ -222,7 +226,7 @@ class SyntheticStereoWorld:
                 if abs(x0) < 0.9:          # keep the fly-through band clear
                     x0 = np.sign(x0 or 1.0) * 0.9
                 pos = np.array([x0, 0.0, z0 + self.rng.uniform(-0.8, 0.8)])
-                speed = self.rng.uniform(0.04, 0.14)
+                speed = self.rng.uniform(0.04, 0.14) * px_scale
                 vel = speed * (dvec + self.rng.normal(0, 0.12, 3) *
                                np.array([1.0, 0.0, 1.0]))
                 self.humans.append(SyntheticHuman(

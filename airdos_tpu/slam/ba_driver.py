@@ -160,6 +160,23 @@ class StaticLocalBA:
             R_out, t_out, pts_out, inlier = jax.device_get(
                 (res.R, res.t, res.points, res.edge_inlier))
 
+        import os
+        if os.environ.get("AIRDOS_BA_DEBUG") == "1":
+            n_demoted = int(sum(1 for i in range(len(e_ref))
+                                if e_valid[i] and not inlier[i]))
+            newest = max(local_ids)
+            old_pt = {p for p in point_ids
+                      if min(pt.obs[p], default=newest) < newest - 4}
+            n_dem_old = int(sum(1 for i, (p, kid, fid) in enumerate(e_ref)
+                                if e_valid[i] and not inlier[i]
+                                and p in old_pt and kid in local_set))
+            dpose = max(float(np.linalg.norm(t_out[i] - cam_t[i]))
+                        for kid, i in cam_index.items() if not cam_fixed[i])
+            print(f"[BA kf={kf.id}] cams={n_cam} pts={len(point_ids)} "
+                  f"edges={n_e} demoted={n_demoted} "
+                  f"demoted_old_edges={n_dem_old} max_dpose={dpose:.4f}",
+                  flush=True)
+
         with span(self.profiler, "ba.writeback"):
             for kid, i in cam_index.items():
                 if not cam_fixed[i]:

@@ -66,9 +66,14 @@ class System:
         self.keyframe_db = None
         self.loop_closer = None
         if config.vocabulary_path:
-            from airdos_tpu.bow.vocabulary import Vocabulary, load_dbow2_text
+            # suffix dispatch like the reference (System.cc:56-67 selects
+            # text vs binary loader by has_suffix(".txt"/".bin"))
+            from airdos_tpu.bow.vocabulary import (Vocabulary,
+                                                   load_dbow2_binary,
+                                                   load_dbow2_text)
             p = str(config.vocabulary_path)
             self.vocabulary = (Vocabulary.load_npz(p) if p.endswith(".npz")
+                               else load_dbow2_binary(p) if p.endswith(".bin")
                                else load_dbow2_text(p))
             self._init_place_recognition()
         self.track_times: List[float] = []

@@ -204,7 +204,12 @@ def main():
     # --- sections 2+3: crowded dynamic scene --------------------------
     n_warm_h = 7
     n_total_h = n_warm_h + 7
-    world_h = SyntheticStereoWorld(seed=0, n_points=500, n_humans=N_HUMANS)
+    # crowd=True: slow coherently-drifting humans whose ~1-2 px/frame flow
+    # stays inside the pose optimizer's chi-square gate — the regime where
+    # an unmasked pipeline accumulates bias instead of rejecting outliers
+    # (fast walkers are cleanly gated out and poison nothing)
+    world_h = SyntheticStereoWorld(seed=0, n_points=500, n_humans=N_HUMANS,
+                                   crowd=True)
     Rwc, twc = world_h.trajectory(n_total_h, 0.1, yaw_rate=0.005)
     frames_h = [world_h.frame(i, Rwc[i], twc[i], i * 0.1, with_humans=True)
                 for i in range(n_total_h)]

@@ -61,6 +61,29 @@ def test_vocabulary_npz_roundtrip(rng, tmp_path):
     assert (w1 == w2).all()
 
 
+def test_vocabulary_dbow2_binary_roundtrip(rng, tmp_path):
+    """The ORBvoc.bin 41-byte-record format (reference
+    TemplatedVocabulary.h:1671-1745, Vocabulary/to_binary.cc): save ->
+    load must preserve the tree, weights, and word assignments."""
+    from airdos_tpu.bow.vocabulary import load_dbow2_binary, save_dbow2_binary
+    voc = train_vocabulary(random_descs(rng, 500), k=4, depth=2)
+    p = tmp_path / "voc.bin"
+    save_dbow2_binary(voc, p)
+    # header sanity: n_nodes, size_node=41
+    import numpy as np
+    hdr = np.frombuffer(p.read_bytes()[:24], dtype="<u4, <u4, <i4, <i4, <i4, <i4")[0]
+    assert int(hdr[1]) == 41
+    assert int(hdr[2]) == 4 and int(hdr[3]) == 2
+    voc2 = load_dbow2_binary(p)
+    assert voc2.n_words == voc.n_words
+    np.testing.assert_allclose(voc2.weights, voc.weights, rtol=1e-6)
+    d = _pack_u32(random_descs(rng, 64))
+    b1, w1, _ = voc.transform(d)
+    b2, w2, _ = voc2.transform(d)
+    assert (w1 == w2).all()
+    assert abs(Vocabulary.score(b1, b2) - 1.0) < 1e-5
+
+
 def test_horn_align_se3(rng):
     xi = rng.uniform(-1, 1, 6).astype(np.float32)
     R_gt, t_gt = se3_exp(jnp.asarray(xi))

@@ -1,6 +1,7 @@
 """Config-flag behaviors: IsKeyFrameOnly, IsGroundTruthDepth, fast human
 BA, localization-only mode."""
 import numpy as np
+import pytest
 
 from airdos_tpu.config import SlamConfig
 from airdos_tpu.io.datasets import FrameData
@@ -28,6 +29,7 @@ def _human_world(cfg):
                                 n_humans=1)
 
 
+@pytest.mark.slow
 def test_keyframe_only_limits_human_poses():
     """IsKeyFrameOnly=1: human poses enter only on keyframes (reference
     Tracking.cc:493 'else if(!mbIsKeyFrameOnly) GrabHumanPose()')."""
@@ -74,6 +76,7 @@ def test_ground_truth_depth_human_path():
     slam.shutdown()
 
 
+@pytest.mark.slow
 def test_fast_human_ba_uses_whole_trajectory():
     """use_fast_human_ba: every pose of an observed trajectory enters the
     BA window (Fast variant, Optimizer.cc:736-1493)."""
@@ -99,6 +102,7 @@ def test_fast_human_ba_uses_whole_trajectory():
         slam.shutdown()
 
 
+@pytest.mark.slow
 def test_localization_only_mode():
     """ActivateLocalizationMode freezes the map (System.cc:288-296)."""
     cfg = small_config()

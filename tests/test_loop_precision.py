@@ -3,12 +3,14 @@ produce ZERO loop closures (false-positive gate; reference DetectLoop's
 covisibility exclusion + 3-consistency protocol, LoopClosing.cc:103-229,
 and the >=40-point ComputeSim3 gate, LoopClosing.cc:350-390)."""
 import numpy as np
+import pytest
 
 from airdos_tpu.config import SlamConfig
 from airdos_tpu.io.synthetic import SyntheticStereoWorld, small_camera
 from airdos_tpu.slam.system import System
 
 
+@pytest.mark.slow
 def test_loop_free_corridor_zero_corrections():
     cfg = SlamConfig()
     cfg.camera = small_camera()

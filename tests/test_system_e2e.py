@@ -67,6 +67,7 @@ def test_online_mode_matches_reference_threading():
     assert slam.map.n_keyframes() >= 2
 
 
+@pytest.mark.slow
 def test_human_pipeline_builds_trajectories():
     cfg = small_config()
     cfg.human.ok = True
