@@ -82,6 +82,17 @@ class OptimizerConfig:
     # keyframes — the reference's LocalBundleAdjustmentHumanTrajactoryFast
     # graph (Optimizer.cc:736-1493; never called there, selectable here).
     use_fast_human_ba: bool = False
+    # Weak SE3 prior anchoring per-frame pose optimization to the motion-
+    # model prediction (sigma in m / rad per frame; <=0 disables, the
+    # default).  Measured on the synthetic corridor: because the anchor is
+    # the constant-velocity prediction, which itself integrates any slip,
+    # the prior removes the data's small corrective pull instead of
+    # bounding the runaway — it is NOT a fix for depth-degenerate scenes
+    # (richer close structure is).  Kept as an opt-in for sensor-fusion
+    # setups where the prediction comes from an absolute-quality source
+    # (IMU/odometry) rather than the vision loop itself.
+    motion_prior_sigma_t: float = 0.0
+    motion_prior_sigma_rot: float = 0.0
 
 
 @dataclasses.dataclass

@@ -85,6 +85,8 @@ class SyntheticStereoWorld:
                  centered: bool = False,
                  clear_ring: Optional[Tuple[float, float, float, float]] = None,
                  ring_outside_only: bool = False,
+                 room_radius: Optional[float] = None,
+                 corridor_walls: Optional[float] = None,
                  crowd: bool = False):
         """centered=True scatters landmarks/billboards all around the
         origin (for closed-loop trajectories); default is a corridor
@@ -105,7 +107,13 @@ class SyntheticStereoWorld:
                 ang = self.rng.uniform(0, 2 * np.pi, n_points)
                 sign = np.ones(n_points) if ring_outside_only else \
                     self.rng.choice([-1.0, 1.0], n_points)
-                off = (hw + (wz / 2 - hw) *
+                # keep dots INSIDE the room walls: a dot beyond a wall
+                # renders through it (no occlusion), giving a stereo-
+                # consistent but geometrically-impossible landmark
+                max_off = wz / 2 - hw
+                if room_radius is not None:
+                    max_off = min(max_off, room_radius - r0 - 0.35)
+                off = (hw + max_off *
                        self.rng.uniform(0, 1, n_points) ** 2) * sign
                 rr = np.maximum(r0 + off, 0.3)
                 pts = np.stack([
@@ -136,6 +144,12 @@ class SyntheticStereoWorld:
             xs = self.rng.uniform(-wx / 2, wx / 2, n_points)
             band = np.abs(xs) < 0.7
             xs[band] = np.sign(xs[band]) * (0.7 + np.abs(xs[band]))
+            if corridor_walls is not None:
+                # fold dots into the slab between the clear band and the
+                # walls — a dot beyond a wall would render through it
+                # (no occlusion) as a geometrically-impossible landmark
+                slab = max(corridor_walls - 0.3 - 0.7, 0.2)
+                xs = np.sign(xs) * (0.7 + np.mod(np.abs(xs) - 0.7, slab))
             self.points = np.stack([
                 xs,
                 self.rng.uniform(-wy / 2, wy / 2, n_points),
@@ -170,7 +184,13 @@ class SyntheticStereoWorld:
             # Unique hashed wall texture at 3-7 m gives the strafing
             # camera corridor-quality stereo matches at every heading.
             cx0, cz0, r0, _hw = clear_ring
-            wall_r = r0 + 3.2
+            # room_radius = wall half-size from the ring center.  CLOSE
+            # walls matter: floating dots carry mostly-background BRIEF
+            # patches whose content is rewritten every frame by close-range
+            # parallax (descriptors go stale within ~5 frames, Hamming
+            # >100); wall texture is a surface — its patches are parallax-
+            # free and stay matchable for the whole lap
+            wall_r = room_radius if room_radius is not None else r0 + 3.2
             span = 2 * wall_r + 2.0
             for wi, (axis, c0) in enumerate([
                     (0, cx0 - wall_r), (0, cx0 + wall_r),
@@ -188,9 +208,29 @@ class SyntheticStereoWorld:
                 bh = self.rng.uniform(0.6, 1.8)
                 self.billboards.append((axis, a0, y0, c0, bw, bh, 100 + k))
         else:
+            if corridor_walls is not None:
+                # long textured side walls: the continuous CLOSE structure
+                # real corridors/streets have.  Without them the visible
+                # depth distribution is far-dominated (close dots have a
+                # tiny visibility wedge around the cleared camera path) and
+                # forward translation becomes unobservable: a 0.24 m axial
+                # slip moves a 25 m point by 3 px and its stereo disparity
+                # by 0.03 px, so pose LM sits in a flat valley wherever the
+                # motion prediction drops it, the slip feeds the constant-
+                # velocity model, and the error doubles every frame
+                # (measured: -0.026 -> -0.068 -> -0.240 -> -0.799 m, pure
+                # z, rotation 0.00 deg).  Wall texture at ~2 m anchors z at
+                # every frame the way real scenes do.
+                for wi, xw in enumerate((-corridor_walls, corridor_walls)):
+                    self.billboards.append(
+                        (0, wz / 4, 0.2, xw, wz / 2 + 6.0, 5.0, 900 + wi))
             for k in range(60):
                 z0 = self.rng.uniform(2.5, 28.0)
                 x0 = self.rng.uniform(-0.45, 0.45) * (2.0 + z0 * 0.8)
+                if corridor_walls is not None and z0 < 9.0:
+                    # keep close billboards inside the walls
+                    x0 = np.clip(x0, -(corridor_walls - 0.9),
+                                 corridor_walls - 0.9)
                 bw = self.rng.uniform(0.5, 1.6)
                 bh = self.rng.uniform(0.5, 1.6)
                 # keep near-range billboards (their full width) clear of the
@@ -296,6 +336,28 @@ class SyntheticStereoWorld:
             twc.append(pos)
         return np.asarray(Rwc), np.asarray(twc)
 
+    def walk_loop_trajectory(self, n_frames: int, radius: float = 1.35,
+                             laps: float = 1.1, look_in: float = 0.0):
+        """Closed loop WALKING the ring facing the tangent (velocity)
+        direction — the natural walk-around-the-block loop: the room's
+        outer wall rides alongside at constant close range (persistent
+        close SURFACE structure at every heading, which facing-center
+        orbits never have in view), while the path ahead curves through
+        previously unseen wall/dot texture until the revisit.  look_in
+        tilts the heading toward the ring center (radians).  Returns
+        (Rwc, twc)."""
+        Rwc, twc = [], []
+        for i in range(n_frames):
+            th = 2 * np.pi * laps * i / n_frames
+            pos = np.array([radius * (1 - np.cos(th)), 0.0,
+                            radius * np.sin(th)])
+            yaw = th + look_in          # tangent dir = (sin th, 0, cos th)
+            c, s = np.cos(yaw), np.sin(yaw)
+            R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            Rwc.append(R)
+            twc.append(pos)
+        return np.asarray(Rwc), np.asarray(twc)
+
     def strafe_loop_trajectory(self, n_frames: int, radius: float = 4.0,
                                laps: float = 1.1, yaw_amp: float = 0.0):
         """Closed circular loop with (near-)constant heading: the camera
@@ -353,21 +415,47 @@ class SyntheticStereoWorld:
         # projected block size stays ~2.5-5x the pixel footprint at every
         # distance.
         base = 0.008
+        # VIEWPOINT-STABLE band-limited octave sum.  Earlier versions
+        # mip-SELECTED a single hashed-block octave by pixel footprint —
+        # but each octave is an INDEPENDENT random field, so whenever a
+        # surface point's footprint crossed an octave boundary its texture
+        # was replaced by uncorrelated noise (real downsampled texture is
+        # the local AVERAGE of the fine texture, never fresh noise).
+        # Measured effect: ~80% of the matched point set churned EVERY
+        # frame (descriptors Hamming-stale within ~5 frames), per-frame BA
+        # dragged point positions ~1 cm/frame toward the morphing corner
+        # consensus, and tracking collapsed at ~12 frames in every world,
+        # even with an oracle motion prior.  The fix is standard
+        # band-limited procedural noise: the texture is ONE fixed function
+        # (a sum of block octaves); the footprint only FADES OUT octaves
+        # finer than it can resolve (they box-average to a constant
+        # anyway).  Appearance under viewpoint change is then a slowly
+        # band-limited version of the same pattern — descriptors stay
+        # correlated for the lifetime of a map point.
         if footprint is None:
-            scale = np.full_like(x, base)
+            kf = np.zeros_like(x, dtype=np.float64)
         else:
-            k = np.ceil(np.log2(np.maximum(2.5 * footprint / base, 1.0)))
-            scale = base * np.exp2(np.clip(k, 0, 7))
-        xi = np.floor(x / scale).astype(np.int64)
-        zi = np.floor(z / scale).astype(np.int64)
-        out += 0.45 * hashed(xi, zi, 9)
-        # mid-frequency octave (4x the sharp blocks, same mip logic) breaks
-        # the equal-size block lattice's self-similarity: a descriptor patch
-        # spanning a few sharp blocks also sees a distinctive larger block,
-        # so sliding one block over no longer looks identical
-        xi4 = np.floor(x / (4 * scale)).astype(np.int64)
-        zi4 = np.floor(z / (4 * scale)).astype(np.int64)
-        out += 0.3 * hashed(xi4, zi4, 5)
+            kf = np.log2(np.maximum(2.0 * footprint / base, 1.0))
+        wsum = np.zeros_like(x, dtype=np.float64)
+        acc = np.zeros_like(x, dtype=np.float64)
+        for k in range(8):
+            # octave k fully visible when footprint << its block size,
+            # fading smoothly to 0 as the footprint approaches it
+            w = np.clip(k + 1.0 - kf, 0.0, 1.0)
+            if not np.any(w > 0):
+                continue
+            sc = base * (2.0 ** k)
+            xi = np.floor(x / sc).astype(np.int64)
+            zi = np.floor(z / sc).astype(np.int64)
+            # geometric amplitude decay toward coarse octaves: after
+            # normalization the finest VISIBLE octave always carries ~40%
+            # of the contrast, at every viewing distance (self-similar,
+            # like real 1/f surface detail) — an equal-amplitude sum would
+            # wash close-up texture out to ~1/8 contrast per octave
+            amp = 0.6 ** k
+            acc += w * amp * hashed(xi, zi, 9 + 16 * k)
+            wsum += w * amp
+        out += 0.75 * acc / np.maximum(wsum, 1e-9)
         # smooth low-frequency octave for shading variety
         s = 2.0
         xs, zs = x / s, z / s

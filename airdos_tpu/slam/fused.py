@@ -29,7 +29,8 @@ def motion_model_step(xw_p, desc_p, oct_p, ang_p, valid_p, real_p,
                       feat_xy_un, feat_ur, feat_oct, feat_ang, feat_desc,
                       feat_valid, inv_sigma2_feat,
                       fx, fy, cx, cy, bf, width, height,
-                      scale_factors, th, forward, backward) -> TrackStepResult:
+                      scale_factors, th, forward, backward,
+                      prior_w_rot=0.0, prior_w_trans=0.0) -> TrackStepResult:
     """SearchByProjection(cur, last, th) + PoseOptimization, fused."""
     taken = jnp.zeros(feat_xy_un.shape[0], bool)
     m = match_last_frame(xw_p, desc_p, oct_p, ang_p, valid_p,
@@ -43,7 +44,8 @@ def motion_model_step(xw_p, desc_p, oct_p, ang_p, valid_p, real_p,
     xw = xw_p[src]
     obs = jnp.concatenate([feat_xy_un, feat_ur[:, None]], axis=1)
     res = pose_optimize(R0, t0, xw, obs, inv_sigma2_feat, has,
-                        fx, fy, cx, cy, bf)
+                        fx, fy, cx, cy, bf,
+                        prior_w_rot=prior_w_rot, prior_w_trans=prior_w_trans)
     inl = res.inlier & has
     n_real = jnp.sum(inl & real_p[src]).astype(jnp.int32)
     return TrackStepResult(R=res.R, t=res.t,
@@ -57,7 +59,8 @@ def local_map_step(xw_c, desc_c, valid_c, normal_c, maxd_c, mind_c,
                    feat_xy_un, feat_ur, feat_oct, feat_desc, feat_valid,
                    inv_sigma2_feat,
                    fx, fy, cx, cy, bf, width, height,
-                   scale_factors, log_scale, n_levels, th) -> TrackStepResult:
+                   scale_factors, log_scale, n_levels, th,
+                   prior_w_rot=0.0, prior_w_trans=0.0) -> TrackStepResult:
     """SearchLocalPoints + PoseOptimization (TrackLocalMap), fused.
 
     exist_xw/exist_valid: the frame's current associations (by feature).
@@ -77,7 +80,8 @@ def local_map_step(xw_c, desc_c, valid_c, normal_c, maxd_c, mind_c,
     valid = exist_valid | cand_has
     obs = jnp.concatenate([feat_xy_un, feat_ur[:, None]], axis=1)
     res = pose_optimize(R0, t0, xw, obs, inv_sigma2_feat, valid,
-                        fx, fy, cx, cy, bf)
+                        fx, fy, cx, cy, bf,
+                        prior_w_rot=prior_w_rot, prior_w_trans=prior_w_trans)
     inl = res.inlier & valid
     is_real = jnp.where(exist_valid, exist_real, cand_has)
     n_real = jnp.sum(inl & is_real).astype(jnp.int32)
@@ -117,6 +121,11 @@ def make_full_track_step(frontend, config):
     inv_sigma2 = 1.0 / (scale_factors ** 2)
     log_scale = float(_np.log(orb.scale_factor))
     n_levels = orb.n_levels
+    opt = config.optimizer
+    pw_rot = 1.0 / opt.motion_prior_sigma_rot ** 2 \
+        if opt.motion_prior_sigma_rot > 0 else 0.0
+    pw_trans = 1.0 / opt.motion_prior_sigma_t ** 2 \
+        if opt.motion_prior_sigma_t > 0 else 0.0
 
     def step(imL_u8, imR_u8, maskL_u8, maskR_u8,
              torso_px,                # [MAX_HUMANS * N_TORSO, 2]
@@ -153,7 +162,8 @@ def make_full_track_step(frontend, config):
                 R_prior, t_prior,
                 xy_un, sm.u_right, fL.octave, fL.angle, fL.desc32, fL.valid,
                 isig, fx, fy, cx, cy, bf, width, height,
-                scale_factors, th, forward, backward)
+                scale_factors, th, forward, backward,
+                prior_w_rot=pw_rot, prior_w_trans=pw_trans)
 
         m7 = motion(7.0)
         m = jax.lax.cond(m7.n_matches < 20, lambda: motion(14.0), lambda: m7)
@@ -170,7 +180,8 @@ def make_full_track_step(frontend, config):
             m.R, m.t, -m.R.T @ m.t,
             xy_un, sm.u_right, fL.octave, fL.desc32, fL.valid, isig,
             fx, fy, cx, cy, bf, width, height,
-            scale_factors, log_scale, n_levels, 1.0)
+            scale_factors, log_scale, n_levels, 1.0,
+            prior_w_rot=pw_rot, prior_w_trans=pw_trans)
 
         feat_f32 = jnp.concatenate([
             fL.xy, xy_un, fL.response[:, None], fL.angle[:, None],

@@ -70,6 +70,11 @@ class Tracking:
         self.inv_sigma2 = (1.0 / (self.scale_factors ** 2)).astype(np.float32)
         self.log_scale = float(np.log(orb.scale_factor))
         self.n_levels = orb.n_levels
+        opt = config.optimizer
+        self.prior_w_rot = 1.0 / opt.motion_prior_sigma_rot ** 2 \
+            if opt.motion_prior_sigma_rot > 0 else 0.0
+        self.prior_w_trans = 1.0 / opt.motion_prior_sigma_t ** 2 \
+            if opt.motion_prior_sigma_t > 0 else 0.0
 
         import threading
         self.map_lock = threading.Lock()  # tracking <-> mapping-thread guard
@@ -506,7 +511,8 @@ class Tracking:
             jnp.asarray(self.inv_sigma2[frame.octave]),
             self.fx, self.fy, self.cx, self.cy, self.bf,
             self.width, self.height,
-            self._scale_factors_dev, th, forward, backward)
+            self._scale_factors_dev, th, forward, backward,
+            self.prior_w_rot, self.prior_w_trans)
         R, t, pof, n_matches, n_real = jax.device_get(
             (out.R, out.t, out.point_of_feat, out.n_matches,
              out.n_real_inliers))
@@ -857,7 +863,8 @@ class Tracking:
             jnp.asarray(self.inv_sigma2[frame.octave]),
             self.fx, self.fy, self.cx, self.cy, self.bf,
             self.width, self.height,
-            self._scale_factors_dev, self.log_scale, self.n_levels, 1.0)
+            self._scale_factors_dev, self.log_scale, self.n_levels, 1.0,
+            self.prior_w_rot, self.prior_w_trans)
         R, t, pof, n_real = jax.device_get(
             (out.R, out.t, out.point_of_feat, out.n_real_inliers))
         frame.set_pose(R, t)

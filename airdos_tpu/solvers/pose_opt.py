@@ -18,7 +18,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from airdos_tpu.geometry.se3 import se3_exp, se3_compose, so3_hat
+from airdos_tpu.geometry.se3 import se3_exp, se3_compose, se3_inverse, \
+    se3_log, so3_hat
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
@@ -90,11 +91,43 @@ def pose_optimize(R0: jnp.ndarray, t0: jnp.ndarray,
                   valid: jnp.ndarray,       # [N] bool
                   fx, fy, cx, cy, bf,
                   huber_delta_mono: float = 2.447749,   # sqrt(5.991)
-                  huber_delta_stereo: float = 2.795483  # sqrt(7.815)
+                  huber_delta_stereo: float = 2.795483,  # sqrt(7.815)
+                  prior_w_rot=0.0, prior_w_trans=0.0
                   ) -> PoseOptResult:
-    """All-array pose optimization.  Mono edges are rows with obs[:, 2] < 0."""
+    """All-array pose optimization.  Mono edges are rows with obs[:, 2] < 0.
+
+    prior_w_rot / prior_w_trans (information weights, 1/sigma^2) add a weak
+    SE3 prior anchoring the solution to the INIT pose (R0, t0).  Rationale:
+    with the init coming from the constant-velocity motion model, scenes
+    whose matched structure is depth-degenerate leave the camera's forward
+    axis nearly unobservable (a 0.24 m axial slip moves a 25 m point 3 px
+    and its stereo disparity 0.03 px); projection-only LM then settles
+    wherever the prediction drops it and the slip compounds geometrically
+    through the velocity model (measured -0.026 -> -0.068 -> -0.24 ->
+    -0.80 m/frame, pure z, rot 0.00 deg).  A weak prior (sigma ~ 5 cm /
+    0.05 rad per frame, w ~ 400) collapses only near-flat directions to the
+    prediction: a single matched close point at 2 m contributes
+    (fx*x/z^2)^2 ~ 4e3 px^2/m^2 of axial information and swamps it.  The
+    reference has no such edge (Optimizer.cc:232-429) but never needs it at
+    30 fps where prediction error is mm-scale; at the 2-5 fps dataset
+    cadence this rebuild targets, the prior is what keeps weakly-observed
+    directions bounded.  Pass 0 (default) for the exact reference protocol;
+    tracking enables it only for the motion-model/local-map stages whose
+    init IS the prediction (reloc and reference-KF tracking keep it off)."""
     is_stereo = obs[:, 2] >= 0.0
     dtype = R0.dtype
+    # tangent ordering is [upsilon, omega] (translation, rotation)
+    w_prior = jnp.concatenate([
+        jnp.full((3,), prior_w_trans, dtype),
+        jnp.full((3,), prior_w_rot, dtype)])
+    Ri0, ti0 = se3_inverse(R0, t0)
+
+    def prior_terms(R, t):
+        # e = log(T * T0^-1): left-multiplicative offset from the anchor,
+        # matching the update parametrization (J ~ I near the anchor)
+        Rrel, trel = se3_compose(R, t, Ri0, ti0)
+        e = se3_log(Rrel, trel)
+        return e
 
     def chi2_of(R, t):
         e3, _, z3 = _stereo_residual_jac(R, t, xw, obs, fx, fy, cx, cy, bf)
@@ -124,6 +157,10 @@ def pose_optimize(R0: jnp.ndarray, t0: jnp.ndarray,
                         2 * delta * sqrt_chi - delta * delta, chi2)
         rho = jnp.where(jnp.isfinite(rho), rho, 1e30)
         total = jnp.sum(rho * active.astype(dtype))
+        ep = prior_terms(R, t)
+        H = H + jnp.diag(w_prior)
+        b = b - w_prior * ep
+        total = total + jnp.sum(w_prior * ep * ep)
         return H, b, total
 
     def lm_round(R, t, active, use_huber):
