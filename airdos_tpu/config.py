@@ -93,6 +93,13 @@ class OptimizerConfig:
     # (IMU/odometry) rather than the vision loop itself.
     motion_prior_sigma_t: float = 0.0
     motion_prior_sigma_rot: float = 0.0
+    # Constant-velocity extrapolation damping (1.0 = reference-exact raw
+    # last step, Tracking.cc:466-469).  At the low frame rates this
+    # framework targets (2-10 fps), raw extrapolation makes pose noise in
+    # weakly-observed directions follow e_f = 2 e_{f-1} - e_{f-2} —
+    # golden-ratio divergence; scaling the extrapolated twist by
+    # alpha < 1 bounds it (see Tracking._update_velocity).
+    velocity_damping: float = 0.7
 
 
 @dataclasses.dataclass

@@ -92,9 +92,38 @@ def _select_level_keypoints(score: jnp.ndarray, quota: int, cell: int,
     ys_cell = cy * cell + best_in_cell // cell
     xs_cell = cx * cell + best_in_cell % cell
 
-    flat_score = best_score.reshape(-1)
-    k = min(quota, flat_score.shape[0])
-    top_scores, top_idx = jax.lax.top_k(flat_score, k)
+    # Spatially-fair selection, the quadtree's guarantee (reference
+    # ORBextractor::DistributeOctTree, ORBextractor.cc:452-644): breadth-
+    # first region splitting keeps EVERY image region with corners
+    # represented; response only breaks ties locally.  A plain global
+    # top-K over cell responses is NOT that — in scenes where one region
+    # is uniformly sharper (e.g. frontal far texture vs slanted ground),
+    # it hands the whole budget to the sharp region (measured: 140/150
+    # features in the far half, 10 on the floor, and forward translation
+    # went unobservable).  Equivalent static-shape scheme: rank cells
+    # within coarse blocks (4x4 cells) by response, then round-robin
+    # across blocks — every block's best cell first, then every second-
+    # best, ... — so each occupied ~50 px block gets features before any
+    # block gets its r-th.
+    BY = BX = 4
+    nby, nbx = -(-ncy // BY), -(-ncx // BX)
+    bs = jnp.pad(best_score, ((0, nby * BY - ncy), (0, nbx * BX - ncx)))
+    blocks = bs.reshape(nby, BY, nbx, BX).transpose(0, 2, 1, 3) \
+               .reshape(nby * nbx, BY * BX)
+    order = jnp.argsort(-blocks, axis=-1)
+    ranks = jnp.zeros_like(order).at[
+        jnp.arange(nby * nbx)[:, None], order].set(
+        jnp.broadcast_to(jnp.arange(BY * BX)[None, :], order.shape))
+    ranks = jnp.where(blocks > 0, ranks, BY * BX)        # empty cells last
+    # back to the [ncy, ncx] cell grid
+    ranks = ranks.reshape(nby, nbx, BY, BX).transpose(0, 2, 1, 3) \
+                 .reshape(nby * BY, nbx * BX)[:ncy, :ncx]
+    key = best_score - ranks.astype(best_score.dtype) * (2.0 * INI_BOOST)
+
+    flat_key = key.reshape(-1)
+    k = min(quota, flat_key.shape[0])
+    _, top_idx = jax.lax.top_k(flat_key, k)
+    top_scores = best_score.reshape(-1)[top_idx]
     xs = xs_cell.reshape(-1)[top_idx]
     ys = ys_cell.reshape(-1)[top_idx]
     resp = jnp.where(top_scores > 0, top_scores % INI_BOOST, 0.0)

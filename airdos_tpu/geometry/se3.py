@@ -289,3 +289,41 @@ def sim3_log(R, t, s):
     V = jnp.stack([col(eye[0]), col(eye[1]), col(eye[2])], axis=-1)
     v = jnp.linalg.solve(V, t[..., None])[..., 0]
     return jnp.concatenate([v, w, sigma[..., None]], axis=-1)
+
+
+# ------------------------------------------------------- numpy (host-side)
+def se3_log_np(R, t):
+    """Host-side SE3 log for single poses (no jit dispatch — used by the
+    per-frame velocity bookkeeping in tracking)."""
+    import numpy as np
+    cos = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    th = np.arccos(cos)
+    if th < 1e-8:
+        w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                      R[1, 0] - R[0, 1]]) * 0.5
+        return np.concatenate([t, w])
+    axis = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                     R[1, 0] - R[0, 1]]) / (2.0 * np.sin(th))
+    w = th * axis
+    W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    Jinv = (np.eye(3) - 0.5 * W +
+            (1.0 / th ** 2 - (1.0 + np.cos(th)) / (2.0 * th * np.sin(th)))
+            * (W @ W))
+    return np.concatenate([Jinv @ t, w])
+
+
+def se3_exp_np(xi):
+    """Host-side SE3 exp for single tangents (inverse of se3_log_np)."""
+    import numpy as np
+    v, w = np.asarray(xi[:3], np.float64), np.asarray(xi[3:], np.float64)
+    th = np.linalg.norm(w)
+    W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th < 1e-8:
+        R = np.eye(3) + W
+        J = np.eye(3) + 0.5 * W
+    else:
+        W2 = W @ W
+        R = np.eye(3) + np.sin(th) / th * W + (1 - np.cos(th)) / th ** 2 * W2
+        J = (np.eye(3) + (1 - np.cos(th)) / th ** 2 * W +
+             (th - np.sin(th)) / th ** 3 * W2)
+    return R, J @ v

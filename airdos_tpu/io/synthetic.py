@@ -407,6 +407,32 @@ class SyntheticStereoWorld:
             v = (v ^ (v >> 13)) * 1274126177 & 0xFFFFFFFF
             return ((v ^ (v >> 16)) & 0xFF) / 255.0
 
+        def vnoise(xs, zs, sc, s_off):
+            """Smoothstep-interpolated lattice noise at cell size sc.
+            Interpolation (vs nearest-cell blocks) matters twice over:
+            step edges pixel-lock the stereo SAD parabola fit (measured
+            0.30 px median disparity error -> ~3-8 % depth error on the
+            map points), and block lattices are self-similar at the
+            matcher's search-window scale, so a drifted motion prediction
+            finds a COHERENT set of one-blob-off associations that form a
+            second chi2 minimum at the drifted pose (measured: a
+            converged local minimum 18 mm from GT that the whole matched
+            set votes for).  C1-smooth noise keeps gradients finite for
+            subpixel fits and makes neighbouring blobs' BRIEF patches
+            share context, breaking the alias ties."""
+            gx, gz = xs / sc, zs / sc
+            xi = np.floor(gx).astype(np.int64)
+            zi = np.floor(gz).astype(np.int64)
+            tx, tz = gx - xi, gz - zi
+            tx = tx * tx * (3 - 2 * tx)
+            tz = tz * tz * (3 - 2 * tz)
+            n00 = hashed(xi, zi, s_off)
+            n10 = hashed(xi + 1, zi, s_off)
+            n01 = hashed(xi, zi + 1, s_off)
+            n11 = hashed(xi + 1, zi + 1, s_off)
+            return ((n00 * (1 - tx) + n10 * tx) * (1 - tz) +
+                    (n01 * (1 - tx) + n11 * tx) * tz)
+
         out = np.zeros_like(x, dtype=np.float64)
         # mip-correct sharp blocks.  The base must be FINE (mm-scale): with
         # a coarse base a close-up surface renders as ~60 px flat blocks —
@@ -445,15 +471,13 @@ class SyntheticStereoWorld:
             if not np.any(w > 0):
                 continue
             sc = base * (2.0 ** k)
-            xi = np.floor(x / sc).astype(np.int64)
-            zi = np.floor(z / sc).astype(np.int64)
             # geometric amplitude decay toward coarse octaves: after
             # normalization the finest VISIBLE octave always carries ~40%
             # of the contrast, at every viewing distance (self-similar,
             # like real 1/f surface detail) — an equal-amplitude sum would
             # wash close-up texture out to ~1/8 contrast per octave
             amp = 0.6 ** k
-            acc += w * amp * hashed(xi, zi, 9 + 16 * k)
+            acc += w * amp * vnoise(x, z, sc, 9 + 16 * k)
             wsum += w * amp
         out += 0.75 * acc / np.maximum(wsum, 1e-9)
         # smooth low-frequency octave for shading variety

@@ -1007,6 +1007,24 @@ class Tracking:
         # Tcl = Tcw_cur * Twc_last
         R = frame.Rcw @ lf.Rwc
         t = frame.Rcw @ lf.Ow + frame.tcw
+        # Damped constant-velocity model.  The reference extrapolates the
+        # raw last step (Tracking.cc:466-469, mVelocity) — benign at
+        # 30 fps where prediction error is mm-scale and, at larger
+        # motions, TrackWithMotionModel FAILS over to
+        # TrackReferenceKeyFrame whose init is the LAST pose (no
+        # extrapolation) — an accidental stabilizer.  At the 2-10 fps
+        # cadence this framework targets, pose noise in weakly-observed
+        # directions feeds the recurrence e_f = 2 e_{f-1} - e_{f-2}
+        # (golden-ratio divergence, measured +3 -> +37 mm over 5 frames,
+        # then runaway).  Scaling the extrapolated step by alpha < 1
+        # turns the recurrence into e_f = (1+a) e_{f-1} - a e_{f-2},
+        # stable for a < 1; alpha = 0.7 keeps 70 % of the prediction
+        # benefit at a per-frame cost well inside the 2x matching-window
+        # retry while bounding the feedback.
+        a = float(self.config.optimizer.velocity_damping)
+        if a < 1.0:
+            from airdos_tpu.geometry.se3 import se3_exp_np, se3_log_np
+            R, t = se3_exp_np(a * se3_log_np(R, t))
         self.velocity = (R.astype(np.float32), t.astype(np.float32))
 
     def _record_frame(self, frame: Frame):
