@@ -198,6 +198,24 @@ class SyntheticStereoWorld:
                 a0 = cz0 if axis == 0 else cx0
                 self.billboards.append((axis, a0, 0.2, c0, span, 5.0,
                                         900 + wi))
+                # depth RELIEF on each wall (shelves/furniture standoff):
+                # headings where a bare wall fills the whole FOV are the
+                # fronto-parallel-plane degeneracy — every feature at one
+                # depth leaves a yaw <-> lateral-translation mode the
+                # pose solve cannot pin (measured 4-12 deg yaw drift the
+                # moment the matched-depth spread collapsed to one wall).
+                # Patches 0.15-0.5 m in front of the wall give every view
+                # a two-depth structure that closes the mode.
+                for rj in range(8):
+                    standoff = float(self.rng.uniform(0.15, 0.5))
+                    aa = a0 + float(self.rng.uniform(-wall_r, wall_r))
+                    yy = float(self.rng.uniform(-0.5, 0.9))
+                    ww = float(self.rng.uniform(0.4, 1.0))
+                    hh = float(self.rng.uniform(0.4, 1.0))
+                    cc = c0 - np.sign(c0 - (cx0 if axis == 0 else cz0)) \
+                        * standoff
+                    self.billboards.append(
+                        (axis, aa, yy, cc, ww, hh, 700 + 8 * wi + rj))
         if centered:
             for k in range(120):
                 axis = 2 if k % 2 == 0 else 0
@@ -206,6 +224,20 @@ class SyntheticStereoWorld:
                 y0 = self.rng.uniform(-0.6, 1.0)
                 bw = self.rng.uniform(0.6, 1.8)
                 bh = self.rng.uniform(0.6, 1.8)
+                if clear_ring is not None:
+                    # keep billboards away from the ring path: a surface
+                    # passing within ~1 m of the strafing camera fills half
+                    # the FOV with ~33 px/frame self-similar flow and
+                    # occludes the stable far scene — measured to break
+                    # tracking at the same ring angle on every lap speed
+                    cx0, cz0, r0, hw = clear_ring
+                    pts2 = [(a0 - bw / 2, c0), (a0, c0), (a0 + bw / 2, c0)] \
+                        if axis == 2 else \
+                        [(c0, a0 - bw / 2), (c0, a0), (c0, a0 + bw / 2)]
+                    dmin = min(abs(np.hypot(px - cx0, pz - cz0) - r0)
+                               for px, pz in pts2)
+                    if dmin < hw + 0.25:
+                        continue
                 self.billboards.append((axis, a0, y0, c0, bw, bh, 100 + k))
         else:
             if corridor_walls is not None:

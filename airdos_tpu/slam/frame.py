@@ -197,7 +197,10 @@ class Frame:
 
     # ------------------------------------------------------------- pose
     def set_pose(self, Rcw, tcw):
-        self.Rcw = np.asarray(Rcw, np.float32)
+        # re-orthonormalize: solver output carries f32 drift that otherwise
+        # compounds through the velocity composition (see project_so3_np)
+        from airdos_tpu.geometry.se3 import project_so3_np
+        self.Rcw = project_so3_np(Rcw).astype(np.float32)
         self.tcw = np.asarray(tcw, np.float32)
 
     @property

@@ -172,7 +172,8 @@ class KeyFrame:
         return ow
 
     def set_pose(self, Rcw, tcw):
-        self.Rcw = np.asarray(Rcw, np.float32).copy()
+        from airdos_tpu.geometry.se3 import project_so3_np
+        self.Rcw = project_so3_np(Rcw).astype(np.float32)
         self.tcw = np.asarray(tcw, np.float32).copy()
         self._ow = None
 
