@@ -87,7 +87,8 @@ class SyntheticStereoWorld:
                  ring_outside_only: bool = False,
                  room_radius: Optional[float] = None,
                  corridor_walls: Optional[float] = None,
-                 crowd: bool = False):
+                 crowd: bool = False,
+                 pillar: Optional[Tuple[float, float, float, int]] = None):
         """centered=True scatters landmarks/billboards all around the
         origin (for closed-loop trajectories); default is a corridor
         along +z (forward-motion sequences).  clear_ring=(cx, cz, r, hw)
@@ -273,6 +274,43 @@ class SyntheticStereoWorld:
                 y0 = self.rng.uniform(-0.6, 1.0)
                 self.billboards.append((2, x0, y0, z0, bw, bh, 100 + k))
         self.billboards.sort(key=lambda b: -abs(b[3]))   # far to near
+        # oriented billboards: (nvec, d0, tvec, a0, y0, bw, bh, seed) — a
+        # plane {p : p.nvec = d0} with in-plane horizontal axis tvec and
+        # vertical axis ey; the z-buffered render pass makes no
+        # axis-alignment assumption.  Used for the loop-closure pillar: an
+        # n_faces prism of frontal textured faces at the orbit center.  A
+        # camera orbiting the prism always has a near-frontal surface in
+        # view (stereo-matchable: no slant shear, no dot parallax inside
+        # the BRIEF patch), each face is visible for only ~2/n_faces of the
+        # lap (covisibility with the lap start genuinely decays), and every
+        # face carries a distinct texture seed (the revisit's BoW query is
+        # discriminative).
+        self.oriented_billboards: List[tuple] = []
+        if pillar is not None:
+            pcx, pcz, prad, n_faces = pillar
+            apothem = prad * np.cos(np.pi / n_faces)
+            face_w = 2.0 * prad * np.sin(np.pi / n_faces)
+            pc = np.array([pcx, 0.0, pcz])
+            for fi in range(n_faces):
+                phi = 2 * np.pi * fi / n_faces
+                nvec = np.array([np.cos(phi), 0.0, np.sin(phi)])
+                tvec = np.array([-np.sin(phi), 0.0, np.cos(phi)])
+                self.oriented_billboards.append(
+                    (nvec, float(pc @ nvec) + apothem, tvec,
+                     float(pc @ tvec), 0.0, face_w, 2.4, 530 + fi))
+        # unified per-render surface list in (nvec, d0, tvec, ...) plane
+        # form, ordered near-to-far (pillar faces, then billboards by
+        # |plane offset|): the z-buffer makes order irrelevant for OUTPUT,
+        # but near-first lets far surfaces skip already-covered pixels
+        _ex = np.array([1.0, 0.0, 0.0])
+        _ez = np.array([0.0, 0.0, 1.0])
+        self._surfaces = list(self.oriented_billboards)
+        for (axis, a0, y0, c0, bw, bh, seed) in sorted(
+                self.billboards, key=lambda b: abs(b[3])):
+            nvec = _ex if axis == 0 else _ez
+            tvec = _ez if axis == 0 else _ex
+            self._surfaces.append((nvec, float(c0), tvec, float(a0),
+                                   float(y0), bw, bh, seed))
         self.humans: List[SyntheticHuman] = []
         if crowd:
             # Shibuya-crossing mode: a dense, SLOW, coherently-drifting
@@ -434,10 +472,14 @@ class SyntheticStereoWorld:
         so distant texture never aliases (aliasing would decorrelate the
         stereo views and poison descriptor matching)."""
         def hashed(xi, zi, s_off):
-            v = (xi * 73856093) ^ (zi * 19349663) ^ ((seed + s_off) * 83492791)
-            v &= 0xFFFFFFFF
-            v = (v ^ (v >> 13)) * 1274126177 & 0xFFFFFFFF
-            return ((v ^ (v >> 16)) & 0xFF) / 255.0
+            # uint32 wraparound arithmetic == the reference int64-then-mask
+            # formulation bit for bit (two's complement), at half the memory
+            # traffic — this function dominated render cost
+            v = (xi * np.uint32(73856093)) ^ (zi * np.uint32(19349663)) ^ \
+                np.uint32(((seed + s_off) * 83492791) & 0xFFFFFFFF)
+            v = (v ^ (v >> np.uint32(13))) * np.uint32(1274126177)
+            return ((v ^ (v >> np.uint32(16))) & np.uint32(0xFF)) \
+                .astype(np.float32) / np.float32(255.0)
 
         def vnoise(xs, zs, sc, s_off):
             """Smoothstep-interpolated lattice noise at cell size sc.
@@ -453,15 +495,19 @@ class SyntheticStereoWorld:
             subpixel fits and makes neighbouring blobs' BRIEF patches
             share context, breaking the alias ties."""
             gx, gz = xs / sc, zs / sc
-            xi = np.floor(gx).astype(np.int64)
-            zi = np.floor(gz).astype(np.int64)
-            tx, tz = gx - xi, gz - zi
+            xf = np.floor(gx)
+            zf = np.floor(gz)
+            tx = (gx - xf).astype(np.float32)
+            tz = (gz - zf).astype(np.float32)
+            xi = xf.astype(np.int64).astype(np.uint32)
+            zi = zf.astype(np.int64).astype(np.uint32)
             tx = tx * tx * (3 - 2 * tx)
             tz = tz * tz * (3 - 2 * tz)
+            one = np.uint32(1)
             n00 = hashed(xi, zi, s_off)
-            n10 = hashed(xi + 1, zi, s_off)
-            n01 = hashed(xi, zi + 1, s_off)
-            n11 = hashed(xi + 1, zi + 1, s_off)
+            n10 = hashed(xi + one, zi, s_off)
+            n01 = hashed(xi, zi + one, s_off)
+            n11 = hashed(xi + one, zi + one, s_off)
             return ((n00 * (1 - tx) + n10 * tx) * (1 - tz) +
                     (n01 * (1 - tx) + n11 * tx) * tz)
 
@@ -513,16 +559,7 @@ class SyntheticStereoWorld:
             wsum += w * amp
         out += 0.75 * acc / np.maximum(wsum, 1e-9)
         # smooth low-frequency octave for shading variety
-        s = 2.0
-        xs, zs = x / s, z / s
-        xi, zi = np.floor(xs).astype(np.int64), np.floor(zs).astype(np.int64)
-        fx_, fz_ = xs - xi, zs - zi
-        fx_ = fx_ * fx_ * (3 - 2 * fx_)
-        fz_ = fz_ * fz_ * (3 - 2 * fz_)
-        n00, n10 = hashed(xi, zi, 0), hashed(xi + 1, zi, 0)
-        n01, n11 = hashed(xi, zi + 1, 0), hashed(xi + 1, zi + 1, 0)
-        out += 0.25 * ((n00 * (1 - fx_) + n10 * fx_) * (1 - fz_) +
-                       (n01 * (1 - fx_) + n11 * fx_) * fz_)
+        out += 0.25 * vnoise(x, z, 2.0, 0)
         return out
 
     def _human_segments(self, Rcw, tcw, t: float):
@@ -588,29 +625,36 @@ class SyntheticStereoWorld:
         n_comp = np.where(is_ground, np.abs(dg), np.abs(dz))
         slant = np.clip(d_len / np.maximum(n_comp, 1e-6), 1.0, 20.0)
         footprint = tc * d_len / fx * ss * slant
-        tex_g = self._value_noise(px, pz, seed=7, footprint=footprint)
-        tex_w = self._value_noise(px, py, seed=11, footprint=footprint)
-        shade = 40 + 180 * np.where(is_ground, tex_g, tex_w)
-        img = np.where(valid, shade, img)
+        # masked evaluation: each pixel belongs to exactly one surface, so
+        # evaluating the (8-octave) noise only at that surface's pixels cuts
+        # total texture cost from O(pixels x surfaces) to O(pixels) — the
+        # render was the dominant e2e-test cost (measured 2.9 s/frame)
+        sel_g = valid & is_ground
+        sel_w = valid & ~is_ground
+        if sel_g.any():
+            img[sel_g] = 40 + 180 * self._value_noise(
+                px[sel_g], pz[sel_g], seed=7, footprint=footprint[sel_g])
+        if sel_w.any():
+            img[sel_w] = 40 + 180 * self._value_noise(
+                px[sel_w], py[sel_w], seed=11, footprint=footprint[sel_w])
         # zbuf stores the ray parameter t, which IS the camera depth
         # (d_cam has z-component 1); comparing t*d_w_z instead would flip
         # the z-test wherever the world ray points to -z (backward views)
         zbuf = np.where(valid, tc, np.inf)
 
-        # billboards (axis-aligned textured planes), far to near, z-buffered.
-        # Each billboard's 4 corners are projected first and computation is
-        # cropped to the pixel bbox — full-image passes per billboard made
-        # rendering the dominant host cost.
+        # textured plane patches (walls, billboards, pillar faces), one
+        # z-buffered pass over the unified list {p : p.nvec = d0} with
+        # in-plane axes (tvec, ey).  Each patch's 4 corners are projected
+        # first and computation is cropped to the pixel bbox; all per-pixel
+        # work past the z-test runs on the surviving pixels only (near-to-
+        # far order makes that set small for occluded surfaces) — full-
+        # image passes per surface made rendering the dominant host cost.
         d_norm = None
-        for (axis, a0, y0, c0, bw, bh, seed) in self.billboards:
-            a_axis = 2 if axis == 0 else 0
-            corners = np.zeros((4, 3))
-            corners[:, axis] = c0
-            corners[:, a_axis] = [a0 - bw / 2, a0 + bw / 2,
-                                  a0 - bw / 2, a0 + bw / 2]
-            corners[:, 1] = [y0 - bh / 2, y0 - bh / 2,
-                             y0 + bh / 2, y0 + bh / 2]
-            cc = (Rcw @ corners.T).T + tcw
+        for (nvec, d0, tvec, a0, y0, bw, bh, seed) in self._surfaces:
+            corners = [nvec * d0 + tvec * (a0 + sa * bw / 2) +
+                       np.array([0.0, y0 + sy * bh / 2, 0.0])
+                       for sa in (-1, 1) for sy in (-1, 1)]
+            cc = (Rcw @ np.stack(corners).T).T + tcw
             zc = cc[:, 2]
             if (zc < 0.05).all():
                 continue
@@ -626,26 +670,33 @@ class SyntheticStereoWorld:
                 if u0 >= u1 or v0 >= v1:
                     continue
             dw_c = d_w[v0:v1, u0:u1]
-            dn = dw_c[..., axis]
-            tb = np.where(np.abs(dn) > 1e-6,
-                          (c0 - ow[axis]) / np.where(np.abs(dn) > 1e-6, dn, 1.0),
-                          np.inf)
-            zb_c = zbuf[v0:v1, u0:u1]
-            okb = (tb > 0.05) & (tb < zb_c - 1e-6)
-            ba = ow[a_axis] + tb * dw_c[..., a_axis]
-            by = ow[1] + tb * dw_c[..., 1]
-            inside = okb & (np.abs(ba - a0) <= bw / 2) & (np.abs(by - y0) <= bh / 2)
-            if not inside.any():
+            dn = dw_c @ nvec
+            # rays parallel to the plane divide to +-inf/NaN and fail the
+            # z-test comparisons below, which is the correct exclusion
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tb = (d0 - float(ow @ nvec)) / dn
+            okb = (tb > 0.05) & (tb < zbuf[v0:v1, u0:u1] - 1e-6)
+            iy0, ix0 = np.nonzero(okb)
+            if iy0.size == 0:
                 continue
+            tb_i = tb[iy0, ix0]
+            ba = float(ow @ tvec) + tb_i * (dw_c[iy0, ix0] @ tvec)
+            by = ow[1] + tb_i * dw_c[iy0, ix0, 1]
+            keep = (np.abs(ba - a0) <= bw / 2) & (np.abs(by - y0) <= bh / 2)
+            if not keep.any():
+                continue
+            iy, ix = iy0[keep], ix0[keep]
+            tb_i = tb_i[keep]
             if d_norm is None:
                 d_norm = np.linalg.norm(d_cam, axis=-1)
-            dl = d_norm[v0:v1, u0:u1]
-            slant_b = np.clip(dl / np.maximum(np.abs(dn), 1e-6), 1.0, 20.0)
-            fp = tb * dl / fx * ss * slant_b
-            tex = self._value_noise(ba, by, seed=seed, footprint=fp)
-            img[v0:v1, u0:u1] = np.where(inside, 40 + 180 * tex,
-                                         img[v0:v1, u0:u1])
-            zbuf[v0:v1, u0:u1] = np.where(inside, tb, zb_c)
+            dl = d_norm[v0:v1, u0:u1][iy, ix]
+            dn_i = dn[iy, ix]
+            slant_b = np.clip(dl / np.maximum(np.abs(dn_i), 1e-6), 1.0, 20.0)
+            fp = tb_i * dl / fx * ss * slant_b
+            tex = self._value_noise(ba[keep], by[keep], seed=seed,
+                                    footprint=fp)
+            img[v0:v1, u0:u1][iy, ix] = 40 + 180 * tex
+            zbuf[v0:v1, u0:u1][iy, ix] = tb_i
         img = np.clip(img, 0, 255)
         # project with the supersampled intrinsics (u_ss = ss * u): drawing
         # level-0 coords on the ss canvas would place dots at half position,
@@ -660,6 +711,13 @@ class SyntheticStereoWorld:
         order = np.argsort(-z[ok])       # far first so near dots overwrite
         idx = np.nonzero(ok)[0][order]
         for i in idx:
+            # z-test against the surface buffer: a dot behind a wall /
+            # billboard / pillar face must not render through it (a
+            # stereo-consistent but geometrically-impossible landmark)
+            cu = int(np.clip(round(u[i]), 0, w - 1))
+            cvv = int(np.clip(round(v[i]), 0, h - 1))
+            if z[i] - 0.05 > zbuf[cvv, cu]:
+                continue
             r = max(1, int(round(min(r_px[i], 8.0))))
             cv2.circle(img, (int(round(u[i])), int(round(v[i]))), r,
                        float(self.intensity[i]), -1)
