@@ -470,6 +470,25 @@ class Fuser:
         m.update_connections(kf)
 
 
+def select_window_trajectories(trajectories, window_ids, max_trajectories):
+    """Human trajectories observed in the local window, long enough for BA
+    (> TH_LONG_TRAJECTORY poses) — MOST RECENTLY OBSERVED first, so with
+    more than max_trajectories humans the currently-visible tracks win over
+    stale ones (reference collects the local KFs' observed trajectories,
+    Optimizer.cc:1500-1538; dict order would let the oldest tracks win)."""
+    from airdos_tpu.slam.map import TH_LONG_TRAJECTORY
+    cands = []
+    for tid, traj in trajectories.items():
+        if len(traj) <= TH_LONG_TRAJECTORY:
+            continue
+        window_poses = [hp.kf_id for hp in traj.poses
+                        if hp.kf_id in window_ids]
+        if window_poses:
+            cands.append((max(window_poses), traj))
+    cands.sort(key=lambda c: -c[0])
+    return [traj for _, traj in cands[: max_trajectories]]
+
+
 class HumanLocalBA:
     """Driver for the dynamic human-trajectory BA
     (Optimizer::LocalBundleAdjustmentHumanTrajactory protocol): selects the
@@ -498,7 +517,7 @@ class HumanLocalBA:
                             static_argnames=("iters1", "iters2"))
 
     def __call__(self, slam_map: SlamMap, current_kf_id: int):
-        from airdos_tpu.slam.map import BODY1, BODY2, N_PARTS, TH_LONG_TRAJECTORY
+        from airdos_tpu.slam.map import BODY1, BODY2, N_PARTS
         m = self.map
         pt = m.points
         kf = m.kfs.get(current_kf_id)
@@ -537,20 +556,8 @@ class HumanLocalBA:
         cam_index = {kid: i for i, kid in enumerate(cam_ids)}
         window_ids = local_set | fset
 
-        # trajectories observed in the window, long enough — most recently
-        # observed first, so with more than max_trajectories humans the
-        # currently-visible tracks win over stale ones (reference collects
-        # the local KFs' observed trajectories, Optimizer.cc:1500-1538)
-        cands = []
-        for tid, traj in m.trajectories.items():
-            if len(traj) <= TH_LONG_TRAJECTORY:
-                continue
-            window_poses = [hp.kf_id for hp in traj.poses
-                            if hp.kf_id in window_ids]
-            if window_poses:
-                cands.append((max(window_poses), traj))
-        cands.sort(key=lambda c: -c[0])
-        trajs = [traj for _, traj in cands[: self.T]]
+        trajs = select_window_trajectories(m.trajectories, window_ids,
+                                           self.T)
         if not trajs:
             return
 

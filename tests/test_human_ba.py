@@ -157,3 +157,48 @@ def test_human_ba_rigidity_improves_bad_joint(rng):
     # other poses' wrist segments stay consistent
     ri = np.asarray(res.rigid_inlier)[0, :, 3]
     assert ri.sum() >= ri.shape[0] - 2
+
+
+def test_window_trajectory_selection_prefers_current_tracks():
+    """With more humans than max_trajectories slots, the CURRENTLY-visible
+    trajectories must win over stale ones (reference collects the local
+    window's observed trajectories, Optimizer.cc:1500-1538) — dict order
+    would keep the oldest tracks forever."""
+    import numpy as np
+    from airdos_tpu.slam.ba_driver import select_window_trajectories
+    from airdos_tpu.slam.map import HumanPose, HumanTrajectory
+
+    def mk_traj(tid, kf_ids):
+        tr = HumanTrajectory(tid)
+        for k in kf_ids:
+            j = np.zeros((18, 3), np.float32)
+            tr.add_pose(HumanPose(track_id=tid, timestamp=float(k),
+                                  kf_id=k, joints_w=j,
+                                  bad=np.zeros(18, bool),
+                                  lost=np.zeros(18, bool),
+                                  optimized=np.zeros(18, bool)))
+        return tr
+
+    trajectories = {}
+    # 6 stale tracks observed early (kf 0-5), inserted FIRST in dict order
+    for tid in range(6):
+        trajectories[tid] = mk_traj(tid, [0, 1, 2, 3, 4, 5])
+    # 3 current tracks observed in the recent window (kf 10-14)
+    for tid in range(100, 103):
+        trajectories[tid] = mk_traj(tid, [10, 11, 12, 13, 14])
+    # a too-short track is never selected even if current
+    trajectories[999] = mk_traj(999, [14])
+
+    window = set(range(3, 15))          # local window sees both groups
+    got = select_window_trajectories(trajectories, window, 4)
+    got_ids = [t.track_id for t in got]
+    assert len(got_ids) == 4
+    # all three current tracks selected, most-recent first
+    assert set(got_ids[:3]) == {100, 101, 102}
+    assert 999 not in got_ids
+    # remaining slot goes to a stale track, not beyond the cap
+    assert got_ids[3] in range(6)
+
+    # window that sees only stale tracks still returns them
+    got2 = select_window_trajectories(trajectories, {4, 5}, 8)
+    assert len(got2) == 6
