@@ -494,6 +494,9 @@ class SyntheticStereoWorld:
             set votes for).  C1-smooth noise keeps gradients finite for
             subpixel fits and makes neighbouring blobs' BRIEF patches
             share context, breaking the alias ties."""
+            # f64 divide, f32 everything after the floor split: the cell
+            # fraction needs f32 precision only (texture, not geometry),
+            # and halving the memory traffic ~doubles render throughput
             gx, gz = xs / sc, zs / sc
             xf = np.floor(gx)
             zf = np.floor(gz)
@@ -537,16 +540,19 @@ class SyntheticStereoWorld:
         # band-limited version of the same pattern — descriptors stay
         # correlated for the lifetime of a map point.
         if footprint is None:
-            kf = np.zeros_like(x, dtype=np.float64)
+            kf = np.zeros_like(x, dtype=np.float32)
         else:
-            kf = np.log2(np.maximum(2.0 * footprint / base, 1.0))
-        wsum = np.zeros_like(x, dtype=np.float64)
-        acc = np.zeros_like(x, dtype=np.float64)
+            kf = np.log2(np.maximum(2.0 * footprint / base, 1.0)) \
+                .astype(np.float32)
+        wsum = np.zeros_like(x, dtype=np.float32)
+        acc = np.zeros_like(x, dtype=np.float32)
         for k in range(8):
             # octave k fully visible when footprint << its block size,
             # fading smoothly to 0 as the footprint approaches it
-            w = np.clip(k + 1.0 - kf, 0.0, 1.0)
-            if not np.any(w > 0):
+            w = np.clip(k + 1.0 - kf, 0.0, 1.0).astype(np.float32)
+            live = w > 0
+            n_live = int(np.count_nonzero(live))
+            if n_live == 0:
                 continue
             sc = base * (2.0 ** k)
             # geometric amplitude decay toward coarse octaves: after
@@ -554,10 +560,20 @@ class SyntheticStereoWorld:
             # of the contrast, at every viewing distance (self-similar,
             # like real 1/f surface detail) — an equal-amplitude sum would
             # wash close-up texture out to ~1/8 contrast per octave
-            amp = 0.6 ** k
-            acc += w * amp * vnoise(x, z, sc, 9 + 16 * k)
-            wsum += w * amp
-        out += 0.75 * acc / np.maximum(wsum, 1e-9)
+            amp = np.float32(0.6 ** k)
+            if n_live < 0.6 * live.size:
+                # masked evaluation: fine octaves are invisible (w == 0)
+                # on distant surfaces — skip the 4 hashes + lerp there
+                # (the far wall/ground dominate pixel count, so this cuts
+                # most of the per-frame texture cost)
+                vals = vnoise(x[live], z[live], sc, 9 + 16 * k)
+                wl = w[live]
+                acc[live] += wl * amp * vals
+                wsum[live] += wl * amp
+            else:
+                acc += w * amp * vnoise(x, z, sc, 9 + 16 * k)
+                wsum += w * amp
+        out += 0.75 * acc / np.maximum(wsum, np.float32(1e-9))
         # smooth low-frequency octave for shading variety
         out += 0.25 * vnoise(x, z, 2.0, 0)
         return out
@@ -589,13 +605,22 @@ class SyntheticStereoWorld:
         h, w = self.cam.height * ss, self.cam.width * ss
         fx, fy = self.cam.fx * ss, self.cam.fy * ss
         cx, cy = self.cam.cx * ss, self.cam.cy * ss
-        # camera centre and rays in world frame
+        # camera centre and rays in world frame.  The camera-frame ray grid
+        # and its per-pixel length depend only on (intrinsics, ss) — cache
+        # them across frames (they were ~25% of render cost recomputed
+        # identically every view)
         Rwc = Rcw.T
         ow = -Rwc @ tcw
-        vv, uu = np.mgrid[0:h, 0:w]
-        d_cam = np.stack([(uu - cx) / fx,
-                          (vv - cy) / fy,
-                          np.ones_like(uu, np.float64)], axis=-1)
+        cache_key = (h, w, fx, fy, cx, cy)
+        cached = getattr(self, "_ray_cache", None)
+        if cached is None or cached[0] != cache_key:
+            vv, uu = np.mgrid[0:h, 0:w]
+            d_cam = np.stack([(uu - cx) / fx,
+                              (vv - cy) / fy,
+                              np.ones_like(uu, np.float64)], axis=-1)
+            self._ray_cache = (cache_key, d_cam,
+                               np.linalg.norm(d_cam, axis=-1))
+        _, d_cam, d_len_cached = self._ray_cache
         d_w = d_cam @ Rwc.T                                   # [h, w, 3]
 
         img = np.full((h, w), 90.0)
@@ -621,7 +646,7 @@ class SyntheticStereoWorld:
         # OBLIQUE surfaces the along-surface footprint grows by the slant
         # factor (unaccounted, a wall seen near-edge-on renders ~1-px
         # aliased noise — systematic stereo bias on slanted views)
-        d_len = np.linalg.norm(d_cam, axis=-1)
+        d_len = d_len_cached
         n_comp = np.where(is_ground, np.abs(dg), np.abs(dz))
         slant = np.clip(d_len / np.maximum(n_comp, 1e-6), 1.0, 20.0)
         footprint = tc * d_len / fx * ss * slant
@@ -688,7 +713,7 @@ class SyntheticStereoWorld:
             iy, ix = iy0[keep], ix0[keep]
             tb_i = tb_i[keep]
             if d_norm is None:
-                d_norm = np.linalg.norm(d_cam, axis=-1)
+                d_norm = d_len_cached
             dl = d_norm[v0:v1, u0:u1][iy, ix]
             dn_i = dn[iy, ix]
             slant_b = np.clip(dl / np.maximum(np.abs(dn_i), 1e-6), 1.0, 20.0)

@@ -194,6 +194,60 @@ def sharded_epnp_ransac(mesh: Mesh, axis: str = "edges"):
     return jax.jit(run)
 
 
+def sharded_human_bundle_adjust(mesh: Mesh, axis: str = "edges",
+                                iters1: int = 5, iters2: int = 10):
+    """The dynamic human-trajectory BA (solvers/human_ba.py — reference
+    Optimizer::LocalBundleAdjustmentHumanTrajactory, Optimizer.cc:1496-2224)
+    with the STATIC edge table sharded over the mesh: each device assembles
+    the Schur blocks for its static-edge shard, the block aggregates are
+    psum-reduced over ICI, and the dense human system (joints + limb
+    lengths + motions + cameras — tiny next to the static window) solves
+    replicated.  Static edge arrays must be padded to a multiple of the
+    mesh size (invalid rows es_valid=False).  Agreement with the
+    single-chip solver is tested in tests/test_sharded_ba.py."""
+    from airdos_tpu.solvers.human_ba import HumanBAResult, human_bundle_adjust
+
+    def run(cam_R, cam_t, cam_fixed, points, point_valid,
+            es_cam, es_pt, es_obs, es_info, es_valid,
+            joints, joint_exists, jo_cam, jo_obs, jo_valid,
+            seg_len, seg_free, seg_edge_valid,
+            mot_R, mot_t, traj_valid, pose_dt, motion_edge_valid,
+            sigma_static, sigma_human, sigma_rigidity, sigma_motion,
+            th_huber_motion, th_ransac_motion, th_ransac_rigidity,
+            fx, fy, cx, cy, bf):
+        def shard_fn(cam_R, cam_t, cam_fixed, points, point_valid,
+                     es_cam_s, es_pt_s, es_obs_s, es_info_s, es_valid_s,
+                     joints, joint_exists, jo_cam, jo_obs, jo_valid,
+                     seg_len, seg_free, seg_edge_valid,
+                     mot_R, mot_t, traj_valid, pose_dt, motion_edge_valid):
+            return human_bundle_adjust(
+                cam_R, cam_t, cam_fixed, points, point_valid,
+                es_cam_s, es_pt_s, es_obs_s, es_info_s, es_valid_s,
+                joints, joint_exists, jo_cam, jo_obs, jo_valid,
+                seg_len, seg_free, seg_edge_valid,
+                mot_R, mot_t, traj_valid, pose_dt, motion_edge_valid,
+                sigma_static, sigma_human, sigma_rigidity, sigma_motion,
+                th_huber_motion, th_ransac_motion, th_ransac_rigidity,
+                fx, fy, cx, cy, bf,
+                iters1=iters1, iters2=iters2, axis_name=axis)
+
+        rep = [P()] * 5 + [P(axis)] * 5 + [P()] * 13
+        out_specs = HumanBAResult(
+            cam_R=P(), cam_t=P(), points=P(), joints=P(), seg_len=P(),
+            mot_R=P(), mot_t=P(), static_inlier=P(axis),
+            key_inlier=P(), rigid_inlier=P(), motion_inlier=P())
+        return jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=tuple(rep),
+            out_specs=out_specs,
+        )(cam_R, cam_t, cam_fixed, points, point_valid,
+          es_cam, es_pt, es_obs, es_info, es_valid,
+          joints, joint_exists, jo_cam, jo_obs, jo_valid,
+          seg_len, seg_free, seg_edge_valid,
+          mot_R, mot_t, traj_valid, pose_dt, motion_edge_valid)
+
+    return jax.jit(run, static_argnames=())
+
+
 def sharded_global_bundle_adjust(mesh: Mesh, axis: str = "edges",
                                  iters1: int = 6, iters2: int = 10,
                                  cg_iters: int = 48):

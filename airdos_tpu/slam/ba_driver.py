@@ -513,8 +513,13 @@ class HumanLocalBA:
         self.E = dev.max_ba_edges
         self.T = dev.max_trajectories
         self.L = dev.max_trajectory_len
-        self._jit = jax.jit(human_bundle_adjust,
-                            static_argnames=("iters1", "iters2"))
+        if dev.n_chips > 1 and self.E % dev.n_chips == 0:
+            from airdos_tpu.parallel.sharded_ba import (
+                make_mesh, sharded_human_bundle_adjust)
+            self._jit = sharded_human_bundle_adjust(make_mesh(dev.n_chips))
+        else:
+            self._jit = jax.jit(human_bundle_adjust,
+                                static_argnames=("iters1", "iters2"))
 
     def __call__(self, slam_map: SlamMap, current_kf_id: int):
         from airdos_tpu.slam.map import BODY1, BODY2, N_PARTS

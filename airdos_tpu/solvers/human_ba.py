@@ -101,8 +101,19 @@ def human_bundle_adjust(
         sigma_static, sigma_human, sigma_rigidity, sigma_motion,
         th_huber_motion, th_ransac_motion, th_ransac_rigidity,
         fx, fy, cx, cy, bf,
-        iters1: int = 5, iters2: int = 10) -> HumanBAResult:
+        iters1: int = 5, iters2: int = 10,
+        axis_name: str | None = None) -> HumanBAResult:
+    """With ``axis_name`` set (under shard_map), the STATIC edge tables
+    (es_*) are shard-local: every static-edge reduction — the Schur blocks
+    Hpp/bp/Hcc/bc/Wagg, the landmark back-substitution, and the static cost
+    term — is psum-reduced over the mesh.  The human families (projection /
+    rigidity / motion, a few thousand small edges) and the dense reduced
+    solve run replicated: the human problem is dense and tiny next to the
+    static window, so only the O(Es) work is worth distributing."""
     dtype = points.dtype
+
+    def psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
     C = cam_R.shape[0]
     P = points.shape[0]
     T, L = joints.shape[0], joints.shape[1]
@@ -223,7 +234,7 @@ def human_bundle_adjust(
             r = jnp.where(use_huber & (sq > delta), 2 * delta * sq - delta * delta, chi)
             return jnp.where(jnp.isfinite(r), r, 1e30)
 
-        tot = (jnp.sum(rho(chi_s, delta_s) * act["s"]) +
+        tot = (psum(jnp.sum(rho(chi_s, delta_s) * act["s"])) +
                jnp.sum(rho(chi_h, huber_h) * act["h"]) +
                jnp.sum(rho(chi_r, jnp.asarray(th_ransac_rigidity, dtype)) * act["r"]) +
                jnp.sum(rho(chi_m, jnp.asarray(th_huber_motion, dtype)) * act["m"]))
@@ -255,20 +266,20 @@ def human_bundle_adjust(
         e, Jc, Jx, _ = res["s"]
         chi_s = jnp.sum(e * e, -1) * es_info * sigma_static
         w_s = hw(chi_s, delta_s, es_info * sigma_static, act["s"])
-        Hpp = jnp.zeros((P, 3, 3), dtype).at[es_pt].add(
-            jnp.einsum("eik,e,eil->ekl", Jx, w_s, Jx))
-        bp = jnp.zeros((P, 3), dtype).at[es_pt].add(
-            -jnp.einsum("eik,e,ei->ek", Jx, w_s, e))
+        Hpp = psum(jnp.zeros((P, 3, 3), dtype).at[es_pt].add(
+            jnp.einsum("eik,e,eil->ekl", Jx, w_s, Jx)))
+        bp = psum(jnp.zeros((P, 3), dtype).at[es_pt].add(
+            -jnp.einsum("eik,e,ei->ek", Jx, w_s, e)))
         Wcp = jnp.einsum("eik,e,eil->ekl", Jc, w_s, Jx)
         Hpp = Hpp + (lam * jnp.eye(3, dtype=dtype))[None] * \
             jnp.maximum(jnp.trace(Hpp, axis1=1, axis2=2)[:, None, None] / 3.0, 1e-3)
         Hpp = Hpp + 1e-6 * jnp.eye(3, dtype=dtype)[None]
         Hpp_inv = jnp.where(point_valid[:, None, None], jnp.linalg.inv(Hpp), 0.0)
-        Hcc = jnp.zeros((C, 6, 6), dtype).at[es_cam].add(
-            jnp.einsum("eik,e,eil->ekl", Jc, w_s, Jc))
-        bc = jnp.zeros((C, 6), dtype).at[es_cam].add(
-            -jnp.einsum("eik,e,ei->ek", Jc, w_s, e))
-        Wagg = jnp.zeros((P, C, 6, 3), dtype).at[es_pt, es_cam].add(Wcp)
+        Hcc = psum(jnp.zeros((C, 6, 6), dtype).at[es_cam].add(
+            jnp.einsum("eik,e,eil->ekl", Jc, w_s, Jc)))
+        bc = psum(jnp.zeros((C, 6), dtype).at[es_cam].add(
+            -jnp.einsum("eik,e,ei->ek", Jc, w_s, e)))
+        Wagg = psum(jnp.zeros((P, C, 6, 3), dtype).at[es_pt, es_cam].add(Wcp))
         Aagg = jnp.einsum("pckl,plm->pckm", Wagg, Hpp_inv)
         S_corr = jnp.einsum("pikm,pjlm->ijkl", Aagg, Wagg)
         b_corr = jnp.einsum("pckm,pm->ck", Aagg, bp)
@@ -347,8 +358,8 @@ def human_bundle_adjust(
         mR2 = jnp.matmul(mR, so3_exp(dmot[:, 3:]), precision="highest")
 
         # static point back-substitution
-        WTdx = jnp.zeros((P, 3), dtype).at[es_pt].add(
-            jnp.einsum("ekl,ek->el", Wcp, dxc[es_cam]))
+        WTdx = psum(jnp.zeros((P, 3), dtype).at[es_pt].add(
+            jnp.einsum("ekl,ek->el", Wcp, dxc[es_cam])))
         dxp = jnp.einsum("plm,pm->pl", Hpp_inv, bp - WTdx)
         pts2 = pts + dxp * point_valid[:, None].astype(dtype)
         return camR2, camt2, pts2, jnts2, segs2, mR2, mt2

@@ -41,7 +41,7 @@ def test_loop_detected_and_corrected():
                                  ring_outside_only=True, room_radius=4.5,
                                  pillar=(1.35, 0.0, 0.55, 8))
     slam = System(cfg)
-    N = 132
+    N = 84
     Rwc, twc = world.orbit_loop_trajectory(N, radius=1.35, laps=1.22)
     gt = []
     for i in range(N):

@@ -76,6 +76,66 @@ def test_sharded_matches_single_chip(rng):
     assert np.median(p_g) < 0.05
 
 
+def test_sharded_human_ba_matches_single_chip(rng):
+    """Dynamic human-trajectory BA with the static edge table sharded over
+    the mesh agrees with the single-chip solver (cameras, joints, limb
+    lengths, motion, and all inlier families)."""
+    from airdos_tpu.parallel.sharded_ba import sharded_human_bundle_adjust
+    from airdos_tpu.solvers.human_ba import human_bundle_adjust, N_PARTS
+    from test_human_ba import build_problem
+
+    n_dev = len(jax.devices())
+    pr = build_problem(rng, obs_noise=0.2)
+    T, L, P, Es = pr["T"], pr["L"], pr["P"], pr["Es"]
+    assert Es % n_dev == 0, Es
+    ones = np.ones((T, L, N_PARTS), bool)
+    pts0 = pr["pts_gt"] + rng.normal(0, 0.05, (P, 3)).astype(np.float32)
+    args = (
+        jnp.asarray(pr["cam_R"]), jnp.asarray(pr["cam_t"]),
+        jnp.asarray(pr["cam_fixed"]),
+        jnp.asarray(pts0), jnp.ones(P, bool),
+        jnp.asarray(pr["es_cam"]), jnp.asarray(pr["es_pt"]),
+        jnp.asarray(pr["es_obs"]),
+        jnp.ones(Es, jnp.float32), jnp.ones(Es, bool),
+        jnp.asarray(pr["joints0"]), jnp.asarray(ones),
+        jnp.asarray(pr["jo_cam"]), jnp.asarray(pr["jo_obs"]),
+        jnp.asarray(ones),
+        jnp.asarray(pr["seg0"]), jnp.ones((T, N_PARTS), bool),
+        jnp.asarray(ones),
+        jnp.tile(jnp.eye(3, dtype=jnp.float32), (T, 1, 1)),
+        jnp.zeros((T, 3), jnp.float32), jnp.ones(T, bool),
+        jnp.asarray(pr["pose_dt"]),
+        jnp.ones((T, L, 5), bool),
+        1.0, 0.5, 20.0, 20.0,
+        1.0, 4.0, 1.0,
+        pr["fx"], pr["fy"], pr["cx"], pr["cy"], pr["bf"])
+
+    single = human_bundle_adjust(*args, iters1=4, iters2=6)
+    sharded = sharded_human_bundle_adjust(make_mesh(n_dev), iters1=4,
+                                          iters2=6)(*args)
+
+    np.testing.assert_allclose(np.asarray(sharded.cam_t),
+                               np.asarray(single.cam_t), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sharded.cam_R),
+                               np.asarray(single.cam_R), atol=2e-4)
+    # joint positions and limb lengths agree and recover ground truth
+    jerr_s = np.linalg.norm(np.asarray(sharded.joints) - pr["joints_gt"],
+                            axis=-1)
+    jerr_1 = np.linalg.norm(np.asarray(single.joints) - pr["joints_gt"],
+                            axis=-1)
+    assert np.median(jerr_s) < 0.12
+    assert abs(np.median(jerr_s) - np.median(jerr_1)) < 0.01
+    np.testing.assert_allclose(np.asarray(sharded.seg_len),
+                               np.asarray(single.seg_len), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sharded.mot_t),
+                               np.asarray(single.mot_t), atol=5e-3)
+    agree = (np.asarray(sharded.static_inlier) ==
+             np.asarray(single.static_inlier))
+    assert agree.mean() > 0.98
+    np.testing.assert_array_equal(np.asarray(sharded.key_inlier),
+                                  np.asarray(single.key_inlier))
+
+
 def test_sharded_pnp_ransac_matches_single_chip(rng):
     """Hypothesis-parallel EPnP RANSAC over the mesh returns the same pose
     and inlier set as the single-chip solver for the same sample table."""

@@ -29,12 +29,21 @@ def small_config(**kw):
     return cfg
 
 
-def test_vo_tracks_and_exports_trajectory(tmp_path):
+@pytest.fixture(scope="module")
+def vo_frames():
+    """Rendered 14-frame sequence shared by the static-VO module tests
+    (rendering dominates e2e test cost on the 1-core CI box)."""
     cfg = small_config()
     world = SyntheticStereoWorld(seed=0, n_points=200, cam=cfg.camera)
+    return [(data, Rwc, twc)
+            for data, Rwc, twc in world.sequence(14, dt=0.1, yaw_rate=0.008)]
+
+
+def test_vo_tracks_and_exports_trajectory(tmp_path, vo_frames):
+    cfg = small_config()
     slam = System(cfg)
     gt = []
-    for data, Rwc, twc in world.sequence(14, dt=0.1, yaw_rate=0.008):
+    for data, Rwc, twc in vo_frames:
         slam.track_stereo(data)
         gt.append(twc)
     assert slam.tracking.state.name == "OK"
@@ -55,12 +64,11 @@ def test_vo_tracks_and_exports_trajectory(tmp_path):
     slam.shutdown()
 
 
-def test_online_mode_matches_reference_threading():
+def test_online_mode_matches_reference_threading(vo_frames):
     cfg = small_config()
     cfg.system.is_offline = False
-    world = SyntheticStereoWorld(seed=0, n_points=200, cam=cfg.camera)
     slam = System(cfg)
-    for data, _, _ in world.sequence(12, dt=0.1, yaw_rate=0.008):
+    for data, _, _ in vo_frames[:12]:
         slam.track_stereo(data)
     slam.shutdown()
     assert slam.tracking.state.name == "OK"
@@ -101,13 +109,12 @@ def test_human_pipeline_builds_trajectories():
     slam.shutdown()
 
 
-def test_reset_on_early_loss():
+def test_reset_on_early_loss(vo_frames):
     """Feeding garbage after init must reset and re-initialize cleanly."""
     cfg = small_config()
-    world = SyntheticStereoWorld(seed=0, n_points=200, cam=cfg.camera)
     slam = System(cfg)
     rng = np.random.default_rng(0)
-    frames = list(world.sequence(6, dt=0.1))
+    frames = vo_frames[:6]
     for data, _, _ in frames[:3]:
         slam.track_stereo(data)
     # garbage frames -> loss -> reset
