@@ -329,7 +329,7 @@ class SyntheticStereoWorld:
             px_scale = 772.5 / self.cam.fx
             for k in range(n_humans):
                 frac = k / max(n_humans - 1, 1)
-                z0 = 3.5 + 7.5 * frac
+                z0 = 2.6 + 6.0 * frac
                 # spread across the visible corridor width at that depth
                 half_w = 0.42 * z0
                 x0 = self.rng.uniform(-half_w, half_w)
@@ -340,7 +340,7 @@ class SyntheticStereoWorld:
                 vel = speed * (dvec + self.rng.normal(0, 0.12, 3) *
                                np.array([1.0, 0.0, 1.0]))
                 self.humans.append(SyntheticHuman(
-                    k, pos, vel, scale=self.rng.uniform(1.0, 1.25)))
+                    k, pos, vel, scale=self.rng.uniform(1.1, 1.4)))
         else:
             for k in range(n_humans):
                 # walk ACROSS the camera's corridor at close-ish range so

@@ -27,7 +27,8 @@ import time
 import numpy as np
 
 BENCH_REPS = 3
-N_HUMANS = 6          # crowd density of the dynamic scene (Shibuya-like)
+N_HUMANS = 10         # crowd density of the dynamic scene (Shibuya-like,
+                      # ~34% pixel coverage mid-sequence)
 
 
 def _force(x):
@@ -208,7 +209,7 @@ def main():
     # stays inside the pose optimizer's chi-square gate — the regime where
     # an unmasked pipeline accumulates bias instead of rejecting outliers
     # (fast walkers are cleanly gated out and poison nothing)
-    world_h = SyntheticStereoWorld(seed=0, n_points=500, n_humans=N_HUMANS,
+    world_h = SyntheticStereoWorld(seed=2, n_points=500, n_humans=N_HUMANS,
                                    crowd=True)
     Rwc, twc = world_h.trajectory(n_total_h, 0.1, yaw_rate=0.005)
     frames_h = [world_h.frame(i, Rwc[i], twc[i], i * 0.1, with_humans=True)
