@@ -25,7 +25,8 @@ def test_frame_overlay_and_map_figure(tmp_path):
     frame = None
     for data, _, _ in world.sequence(6, dt=0.1):
         frame = slam.track_stereo(data)
-        viewer.update(frame)
+        if data.index >= 4:          # exercise update without per-frame cost
+            viewer.update(frame)
 
     img = draw_frame(frame, slam.tracking.state.name,
                      slam.map.n_keyframes(), slam.map.n_points(),
