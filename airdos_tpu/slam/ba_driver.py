@@ -513,6 +513,12 @@ class HumanLocalBA:
         self.E = dev.max_ba_edges
         self.T = dev.max_trajectories
         self.L = dev.max_trajectory_len
+        # the reduced dense system is O((T*L*42)^3) to solve — padding to
+        # the configured maxima regardless of the actual window wastes
+        # ~(16/8)^3 = 8x solve FLOPs in typical windows; grow-only buckets
+        # keep shapes sticky (bounded recompiles) while sizing to demand
+        self._tb = _StickyBucket(2, self.T)
+        self._lb = _StickyBucket(4, self.L)
         if dev.n_chips > 1 and self.E % dev.n_chips == 0:
             from airdos_tpu.parallel.sharded_ba import (
                 make_mesh, sharded_human_bundle_adjust)
@@ -566,8 +572,25 @@ class HumanLocalBA:
         if not trajs:
             return
 
-        C, P, E, T, L = self._cb.fit(len(cam_ids)), self.P, self.E, \
-            self.T, self.L
+        # pose windows first, so T/L pad to the ACTUAL problem (bucketed)
+        fast = self.config.optimizer.use_fast_human_ba
+        windows = []
+        for traj in trajs:
+            if fast:
+                # Fast variant: the ENTIRE trajectory enters the graph
+                # (Optimizer::LocalBundleAdjustmentHumanTrajactoryFast,
+                # Optimizer.cc:736-1493), capped only by the padded window
+                sel = list(range(len(traj.poses)))[-self.L:]
+            else:
+                # windowed variant: last L poses whose ref KF is in the
+                # window (Optimizer.cc:1496-2224)
+                sel = [i for i, hp in enumerate(traj.poses)
+                       if hp.kf_id in window_ids][-self.L:]
+            windows.append(sel)
+
+        C, P, E = self._cb.fit(len(cam_ids)), self.P, self.E
+        T = self._tb.fit(len(trajs))
+        L = self._lb.fit(max((len(s) for s in windows), default=2))
         cam_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
         cam_t = np.zeros((C, 3), np.float32)
         cam_fixed = np.ones(C, bool)
@@ -618,21 +641,10 @@ class HumanLocalBA:
         traj_valid = np.zeros(T, bool)
         pose_dt = np.full((T, L), 1.0, np.float32)
         motion_edge_valid = np.zeros((T, L, 5), bool)
-        pose_windows = []   # per t: list of pose indices into traj.poses
+        pose_windows = windows   # per t: pose indices into traj.poses
 
-        fast = self.config.optimizer.use_fast_human_ba
         for t, traj in enumerate(trajs):
-            if fast:
-                # Fast variant: the ENTIRE trajectory enters the graph
-                # (Optimizer::LocalBundleAdjustmentHumanTrajactoryFast,
-                # Optimizer.cc:736-1493), capped only by the padded window
-                sel = list(range(len(traj.poses)))[-L:]
-            else:
-                # windowed variant: last L poses whose ref KF is in the
-                # window (Optimizer.cc:1496-2224)
-                sel = [i for i, hp in enumerate(traj.poses)
-                       if hp.kf_id in window_ids][-L:]
-            pose_windows.append(sel)
+            sel = pose_windows[t]
             if len(sel) < 2:
                 continue
             traj_valid[t] = True

@@ -212,7 +212,8 @@ class System:
                 and self._frame_count - self._last_human_ba_frame >=
                 self.tracking.max_frames
                 and self.map.long_trajectories()):
-            self.human_ba(self.map, self.tracking.last_kf_id)
+            with span(self.profiler, "human_ba"):
+                self.human_ba(self.map, self.tracking.last_kf_id)
             self._last_human_ba_frame = self._frame_count
 
         self._frame_count += 1
