@@ -230,6 +230,21 @@ class SlamConfig:
         cfg.th_depth = float(g("ThDepth", 35.0))
         cfg.meta_data_path = str(g("Data.MetaDataPath", ""))
 
+        # Rebuild extension keys (no reference analogue): Device.* bounds
+        # the padded array shapes every jitted program compiles for, so a
+        # dataset YAML can size compile budgets to its scene scale.
+        dev = cfg.device
+        for yk, attr in (("Device.MaxKeypoints", "max_keypoints"),
+                         ("Device.MaxLocalKFs", "max_local_kfs"),
+                         ("Device.MaxFixedKFs", "max_fixed_kfs"),
+                         ("Device.MaxLocalPoints", "max_local_points"),
+                         ("Device.MaxBAEdges", "max_ba_edges"),
+                         ("Device.MaxTrajectories", "max_trajectories"),
+                         ("Device.MaxTrajectoryLen", "max_trajectory_len"),
+                         ("Device.NChips", "n_chips")):
+            if yk in raw:
+                setattr(dev, attr, int(raw[yk]))
+
         # Keep the padded keypoint budget comfortably above nFeatures.
         cfg.device.max_keypoints = max(cfg.device.max_keypoints,
                                        _next_pow2(int(orb.n_features * 1.3)))
