@@ -20,6 +20,7 @@ from airdos_tpu.io.tum import ate_rmse
 from airdos_tpu.slam.system import System
 
 
+@pytest.mark.e2e
 def test_loop_detected_and_corrected():
     cfg = SlamConfig()
     cfg.camera = small_camera()
