@@ -516,9 +516,13 @@ class HumanLocalBA:
         # the reduced dense system is O((T*L*42)^3) to solve — padding to
         # the configured maxima regardless of the actual window wastes
         # ~(16/8)^3 = 8x solve FLOPs in typical windows; grow-only buckets
-        # keep shapes sticky (bounded recompiles) while sizing to demand
-        self._tb = _StickyBucket(2, self.T)
-        self._lb = _StickyBucket(4, self.L)
+        # keep shapes sticky (bounded recompiles) while sizing to demand.
+        # Starting at min(8, cap) reaches the steady-state shape of a
+        # full crowd scene on the FIRST call, so no recompile lands inside
+        # a timed/real-time stretch; scenes with smaller configured caps
+        # start (and stay) at their cap
+        self._tb = _StickyBucket(min(8, self.T), self.T)
+        self._lb = _StickyBucket(min(8, self.L), self.L)
         if dev.n_chips > 1 and self.E % dev.n_chips == 0:
             from airdos_tpu.parallel.sharded_ba import (
                 make_mesh, sharded_human_bundle_adjust)

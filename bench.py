@@ -63,7 +63,9 @@ def _cfg(human: bool):
     cfg.device.max_local_points = 2048
     cfg.device.max_ba_edges = 8192
     cfg.device.max_trajectories = 8
-    cfg.device.max_trajectory_len = 16
+    # 8-pose windows match the 8-KF local window and keep the human-BA
+    # bucket at one stable compiled shape for the whole run
+    cfg.device.max_trajectory_len = 8
     return cfg
 
 

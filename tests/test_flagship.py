@@ -37,7 +37,7 @@ def _cfg(mask: bool, human_ba: bool) -> SlamConfig:
     cfg.device.max_local_points = 2048
     cfg.device.max_ba_edges = 8192
     cfg.device.max_trajectories = 8
-    cfg.device.max_trajectory_len = 16
+    cfg.device.max_trajectory_len = 8
     return cfg
 
 
