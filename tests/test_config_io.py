@@ -81,3 +81,34 @@ def test_ate_rmse_alignment(rng):
     est = (Rr @ gt.T).T + np.array([5.0, -2.0, 1.0])
     assert ate_rmse(est, gt) < 1e-6
     assert ate_rmse(est + rng.normal(0, 0.1, est.shape), gt) > 0.05
+
+
+def test_rpe_known_perturbation(rng):
+    """RPE (evo --delta 1 --all_pairs semantics, Evaluation/evaluate.py:32-35)
+    on a trajectory with a known constant relative-pose error."""
+    from scipy.spatial.transform import Rotation
+    from airdos_tpu.io.tum import rpe
+    n = 20
+    ts = np.arange(n, dtype=np.float64)
+    gt_R = np.tile(np.eye(3), (n, 1, 1))
+    gt_t = np.stack([np.array([0.3 * i, 0.0, 0.1 * i]) for i in range(n)])
+
+    # identical trajectories -> zero error
+    t_err, r_err = rpe(ts, gt_R, gt_t, gt_R, gt_t, delta=1)
+    assert abs(t_err) < 1e-9 and abs(r_err) < 1e-6
+
+    # constant 2 cm slip per step -> exactly 0.02 m translation RPE
+    est_t = gt_t + np.array([0.02, 0.0, 0.0]) * np.arange(n)[:, None]
+    t_err, r_err = rpe(ts, gt_R, est_t, gt_R, gt_t, delta=1)
+    assert abs(t_err - 0.02) < 1e-9, t_err
+    assert abs(r_err) < 1e-6
+
+    # constant 1-degree rotation drift per step -> exactly 1 deg rot RPE
+    dR = Rotation.from_euler("z", 1.0, degrees=True).as_matrix()
+    est_R = gt_R.copy()
+    acc = np.eye(3)
+    for i in range(n):
+        est_R[i] = acc.copy()
+        acc = acc @ dR
+    t_err, r_err = rpe(ts, est_R, gt_t, gt_R, gt_t, delta=1)
+    assert abs(r_err - 1.0) < 1e-6, r_err
