@@ -194,6 +194,73 @@ def sharded_epnp_ransac(mesh: Mesh, axis: str = "edges"):
     return jax.jit(run)
 
 
+def sharded_sim3_ransac(mesh: Mesh, axis: str = "edges",
+                        fix_scale: bool = True):
+    """Hypothesis-parallel Sim3 RANSAC over the ICI mesh (loop closure's
+    ComputeSim3, reference Sim3Solver::iterate): the [H, 3] minimal-sample
+    table is sharded over the mesh, each device runs vmapped Horn
+    alignments + mutual-reprojection inlier counts for its shard, the
+    per-device best (count, R, t, s) is all-gathered (a few hundred bytes
+    over ICI), and the winner's inlier-weighted Horn refine runs
+    replicated — the same champion-vote shape as sharded_epnp_ransac.
+    H must be a multiple of the mesh size."""
+    from airdos_tpu.solvers.sim3 import Sim3RansacResult, horn_align
+
+    def run(x1, x2, valid, sample_idx, max_err1, max_err2, fx, fy, cx, cy):
+        def shard_fn(x1, x2, valid, samples_s, max_err1, max_err2):
+            def reproj_inliers(R, t, s):
+                p1 = s * (x2 @ R.T) + t
+                z1 = jnp.where(jnp.abs(p1[:, 2]) < 1e-9, 1e-9, p1[:, 2])
+                u1 = fx * p1[:, 0] / z1 + cx
+                v1 = fy * p1[:, 1] / z1 + cy
+                z1o = jnp.where(jnp.abs(x1[:, 2]) < 1e-9, 1e-9, x1[:, 2])
+                e1 = (u1 - (fx * x1[:, 0] / z1o + cx)) ** 2 + \
+                     (v1 - (fy * x1[:, 1] / z1o + cy)) ** 2
+                p2 = (1.0 / s) * ((x1 - t) @ R)
+                z2 = jnp.where(jnp.abs(p2[:, 2]) < 1e-9, 1e-9, p2[:, 2])
+                u2 = fx * p2[:, 0] / z2 + cx
+                v2 = fy * p2[:, 1] / z2 + cy
+                z2o = jnp.where(jnp.abs(x2[:, 2]) < 1e-9, 1e-9, x2[:, 2])
+                e2 = (u2 - (fx * x2[:, 0] / z2o + cx)) ** 2 + \
+                     (v2 - (fy * x2[:, 1] / z2o + cy)) ** 2
+                return valid & (e1 < max_err1) & (e2 < max_err2)
+
+            def one_hyp(idx):
+                R, t, s = horn_align(x1[idx], x2[idx], fix_scale=fix_scale)
+                inl = reproj_inliers(R, t, s)
+                return R, t, s, jnp.sum(inl)
+
+            Rs, ts, ss, counts = jax.vmap(one_hyp)(samples_s)
+            k = jnp.argmax(counts)
+            c_all = jax.lax.all_gather(counts[k], axis)
+            R_all = jax.lax.all_gather(Rs[k], axis)
+            t_all = jax.lax.all_gather(ts[k], axis)
+            s_all = jax.lax.all_gather(ss[k], axis)
+            g = jnp.argmax(c_all)
+            R_b, t_b, s_b = R_all[g], t_all[g], s_all[g]
+            inl_b = reproj_inliers(R_b, t_b, s_b)
+            w = inl_b.astype(x1.dtype)
+            R_r, t_r, s_r = horn_align(x1, x2, weights=w + 1e-6,
+                                       fix_scale=fix_scale)
+            inl_r = reproj_inliers(R_r, t_r, s_r)
+            better = jnp.sum(inl_r) >= jnp.sum(inl_b)
+            R_f = jnp.where(better, R_r, R_b)
+            t_f = jnp.where(better, t_r, t_b)
+            s_f = jnp.where(better, s_r, s_b)
+            inl_f = jnp.where(better, inl_r, inl_b)
+            return Sim3RansacResult(R=R_f, t=t_f, s=s_f, inliers=inl_f,
+                                    n_inliers=jnp.sum(inl_f))
+
+        return jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(), P()),
+            out_specs=Sim3RansacResult(R=P(), t=P(), s=P(), inliers=P(),
+                                       n_inliers=P()),
+            check_vma=False)(x1, x2, valid, sample_idx, max_err1, max_err2)
+
+    return jax.jit(run)
+
+
 def sharded_human_bundle_adjust(mesh: Mesh, axis: str = "edges",
                                 iters1: int = 5, iters2: int = 10):
     """The dynamic human-trajectory BA (solvers/human_ba.py — reference

@@ -136,6 +136,48 @@ def test_sharded_human_ba_matches_single_chip(rng):
                                   np.asarray(single.key_inlier))
 
 
+def test_sharded_sim3_ransac_matches_single_chip(rng):
+    """Hypothesis-parallel Sim3 RANSAC over the mesh returns the same
+    transform and inlier set as the single-chip solver for the same sample
+    table (loop closure's ComputeSim3 scaling axis)."""
+    from airdos_tpu.geometry.se3 import so3_exp
+    from airdos_tpu.parallel.sharded_ba import sharded_sim3_ransac
+    from airdos_tpu.solvers.sim3 import sim3_ransac
+
+    n_dev = len(jax.devices())
+    fx = fy = 400.0
+    cx, cy = 160.0, 120.0
+    n = 50
+    x2 = rng.uniform([-3, -2, 4], [3, 2, 15], (n, 3)).astype(np.float32)
+    R_gt = np.asarray(so3_exp(jnp.asarray([0.05, 0.3, -0.1])))
+    t_gt = np.array([0.5, -0.2, 0.8], np.float32)
+    x1 = ((R_gt @ x2.T).T + t_gt).astype(np.float32)
+    x1 += rng.normal(0, 0.01, x1.shape).astype(np.float32)
+    out = rng.choice(n, 10, replace=False)
+    x1[out] += rng.uniform(1, 3, (10, 3)).astype(np.float32)
+    H = 128
+    assert H % n_dev == 0
+    samples = rng.integers(0, n, (H, 3)).astype(np.int32)
+    err1 = jnp.full(n, 9.21 * 4, jnp.float32)
+    err2 = jnp.full(n, 9.21 * 4, jnp.float32)
+
+    single = sim3_ransac(jnp.asarray(x1), jnp.asarray(x2),
+                         jnp.ones(n, bool), jnp.asarray(samples),
+                         err1, err2, fx, fy, cx, cy, fix_scale=True)
+    sharded = sharded_sim3_ransac(make_mesh(n_dev), fix_scale=True)(
+        jnp.asarray(x1), jnp.asarray(x2), jnp.ones(n, bool),
+        jnp.asarray(samples), err1, err2, fx, fy, cx, cy)
+
+    assert int(single.n_inliers) >= 35
+    assert int(sharded.n_inliers) == int(single.n_inliers)
+    np.testing.assert_allclose(np.asarray(sharded.R), np.asarray(single.R),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(single.t),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sharded.inliers),
+                                  np.asarray(single.inliers))
+
+
 def test_sharded_pnp_ransac_matches_single_chip(rng):
     """Hypothesis-parallel EPnP RANSAC over the mesh returns the same pose
     and inlier set as the single-chip solver for the same sample table."""
