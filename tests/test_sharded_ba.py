@@ -136,6 +136,42 @@ def test_sharded_human_ba_matches_single_chip(rng):
                                   np.asarray(single.key_inlier))
 
 
+def test_system_runs_with_sharded_ba_drivers():
+    """Full System with device.n_chips=8: the tracking + mapping pipeline
+    drives the SHARDED local-BA path (ba_driver gating on n_chips) over
+    the virtual mesh, end to end on real frames."""
+    from airdos_tpu.config import SlamConfig
+    from airdos_tpu.io.synthetic import SyntheticStereoWorld, small_camera
+    from airdos_tpu.io.tum import ate_rmse
+    from airdos_tpu.slam.system import System
+
+    cfg = SlamConfig()
+    cfg.camera = small_camera()
+    cfg.orb.n_features = 600
+    cfg.orb.n_levels = 4
+    cfg.human.ok = False
+    cfg.system.is_offline = True
+    cfg.device.max_keypoints = 1024
+    cfg.device.max_local_kfs = 8
+    cfg.device.max_fixed_kfs = 4
+    cfg.device.max_local_points = 1024
+    cfg.device.max_ba_edges = 4096
+    cfg.device.n_chips = len(jax.devices())
+    assert cfg.device.n_chips == 8
+
+    world = SyntheticStereoWorld(seed=0, n_points=200, cam=cfg.camera)
+    slam = System(cfg)
+    gt = []
+    for data, Rwc, twc in world.sequence(8, dt=0.1, yaw_rate=0.008):
+        slam.track_stereo(data)
+        gt.append(twc)
+    assert slam.tracking.state.name == "OK"
+    assert slam.map.n_keyframes() >= 2
+    ts, _, twc_e = slam.tracking.trajectory_tum()
+    assert float(ate_rmse(twc_e, np.asarray(gt)[: len(twc_e)])) < 0.1
+    slam.shutdown()
+
+
 def test_sharded_sim3_ransac_matches_single_chip(rng):
     """Hypothesis-parallel Sim3 RANSAC over the mesh returns the same
     transform and inlier set as the single-chip solver for the same sample
