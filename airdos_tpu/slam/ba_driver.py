@@ -18,7 +18,8 @@ import numpy as np
 from airdos_tpu.config import SlamConfig
 from airdos_tpu.matching.epipolar import triangulate_pair
 from airdos_tpu.matching.fuse import fuse_candidates
-from airdos_tpu.slam.map import KeyFrame, SlamMap
+from airdos_tpu.slam.map import (BODY1, BODY2, KeyFrame, N_PARTS, SlamMap,
+                                 TH_LONG_TRAJECTORY)
 from airdos_tpu.solvers.local_ba import local_bundle_adjust
 
 
@@ -476,7 +477,6 @@ def select_window_trajectories(trajectories, window_ids, max_trajectories):
     more than max_trajectories humans the currently-visible tracks win over
     stale ones (reference collects the local KFs' observed trajectories,
     Optimizer.cc:1500-1538; dict order would let the oldest tracks win)."""
-    from airdos_tpu.slam.map import TH_LONG_TRAJECTORY
     cands = []
     for tid, traj in trajectories.items():
         if len(traj) <= TH_LONG_TRAJECTORY:
@@ -532,7 +532,6 @@ class HumanLocalBA:
                                 static_argnames=("iters1", "iters2"))
 
     def __call__(self, slam_map: SlamMap, current_kf_id: int):
-        from airdos_tpu.slam.map import BODY1, BODY2, N_PARTS
         m = self.map
         pt = m.points
         kf = m.kfs.get(current_kf_id)
@@ -714,7 +713,6 @@ class HumanLocalBA:
         key_in = np.asarray(res.key_inlier)
         rig_in = np.asarray(res.rigid_inlier)
         mot_in = np.asarray(res.motion_inlier)
-        from airdos_tpu.slam.map import MAIN_SKELETON
         torso_list = [1, 2, 5, 11, 8]
         for t, traj in enumerate(trajs):
             if not traj_valid[t]:
