@@ -42,10 +42,34 @@ class Vocabulary:
     word_id: np.ndarray           # [n_nodes] int32 (-1 unless leaf)
     weights: np.ndarray           # [n_words] float32 idf weights
     n_words: int
-    feature_level: int = 4        # FeatureVector grouping level (DBoW2 L-4 ~ 4)
+    # FeatureVector grouping: levels up FROM THE LEAVES, the DBoW2
+    # `levelsup` semantics — the reference calls transform(desc, bow,
+    # feat, 4) everywhere (Frame.cc:713-720), and getParentNode(wid,
+    # levelsup) walks `levelsup` parents up from the word, stopping at
+    # the root (TemplatedVocabulary.h:143-171).  With the real ORBvoc
+    # (k=10, L=6) grouping therefore happens ~level 2 from the root
+    # (~100 groups), NOT level 4 (~10^4 groups).
+    feature_level: int = 4
 
     def __post_init__(self):
+        self._group_of_node = self._build_group_table()
         self._jit_transform = jax.jit(self._transform_device)
+
+    def _build_group_table(self) -> np.ndarray:
+        """Per-node FeatureVector group: the ancestor ``feature_level``
+        steps above (stopping at the root), exactly DBoW2's
+        getParentNode(wid, levelsup).  Consulted at the leaf reached by
+        the descent, so uneven trees group each word relative to its OWN
+        depth like the reference."""
+        n = len(self.word_id)
+        parent = np.zeros(n, np.int32)
+        for nid in range(n):
+            ch = self.children[nid]
+            parent[ch[ch >= 0]] = nid
+        group = np.arange(n, dtype=np.int32)
+        for _ in range(max(0, int(self.feature_level))):
+            group = parent[group]          # parent[0] == 0: stop at root
+        return group
 
     # -------------------------------------------------------------- device
     def _transform_device(self, desc32: jnp.ndarray):
@@ -55,9 +79,9 @@ class Vocabulary:
         children = jnp.asarray(self.children)
         node_desc = jnp.asarray(self.node_desc32)
         word_id = jnp.asarray(self.word_id)
+        group_of = jnp.asarray(self._group_of_node)
         N = desc32.shape[0]
         cur = jnp.zeros((N,), jnp.int32)
-        feat_node = jnp.zeros((N,), jnp.int32)
         for lvl in range(self.depth):
             ch = children[cur]                          # [N, k]
             ch_safe = jnp.maximum(ch, 0)
@@ -70,9 +94,7 @@ class Vocabulary:
             # stop at leaves (stay put when no children)
             has_child = (ch >= 0).any(axis=-1)
             cur = jnp.where(has_child, nxt, cur)
-            if lvl + 1 == self.feature_level:
-                feat_node = cur
-        return word_id[cur], feat_node
+        return word_id[cur], group_of[cur]
 
     # ---------------------------------------------------------------- api
     def transform(self, desc32: np.ndarray, valid: Optional[np.ndarray] = None
@@ -109,7 +131,8 @@ class Vocabulary:
         np.savez_compressed(path, k=self.k, depth=self.depth,
                             node_desc32=self.node_desc32, children=self.children,
                             word_id=self.word_id, weights=self.weights,
-                            n_words=self.n_words)
+                            n_words=self.n_words,
+                            feature_level=self.feature_level)
 
     @classmethod
     def load_npz(cls, path: str | Path) -> "Vocabulary":
@@ -117,7 +140,9 @@ class Vocabulary:
         return cls(k=int(z["k"]), depth=int(z["depth"]),
                    node_desc32=z["node_desc32"], children=z["children"],
                    word_id=z["word_id"], weights=z["weights"],
-                   n_words=int(z["n_words"]))
+                   n_words=int(z["n_words"]),
+                   feature_level=int(z["feature_level"])
+                   if "feature_level" in z.files else 4)
 
 
 def train_vocabulary(descriptors_u8: np.ndarray, k: int = 10, depth: int = 4,
@@ -195,10 +220,12 @@ def train_vocabulary(descriptors_u8: np.ndarray, k: int = 10, depth: int = 4,
     counts = np.zeros(n_words, np.float64)
     n_docs = max(1, len(desc32) // 500)    # pseudo-documents of 500 features
     doc_ids = np.arange(len(desc32)) // 500
+    # levelsup such that full-depth words group ~4 levels below the root
+    # like the reference ORBvoc usage (grouping depth = depth - levelsup)
     voc = Vocabulary(k=k, depth=depth, node_desc32=node_desc32,
                      children=ch_arr, word_id=word_id,
                      weights=np.ones(n_words, np.float32), n_words=n_words,
-                     feature_level=min(4, depth - 1) if depth > 1 else 0)
+                     feature_level=max(depth - 4, 1) if depth > 1 else 0)
     _, wids, _ = voc.transform(desc32)
     seen = {}
     for d, w in zip(doc_ids, wids):

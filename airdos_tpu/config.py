@@ -100,6 +100,12 @@ class OptimizerConfig:
     # golden-ratio divergence; scaling the extrapolated twist by
     # alpha < 1 bounds it (see Tracking._update_velocity).
     velocity_damping: float = 0.7
+    # Keyframe-decision thRefRatio schedule: "stereo_sharp" keeps 0.75
+    # from the start (inserts KF1 while the pose is still sharp — see
+    # Tracking._need_new_keyframe for the measured rationale);
+    # "reference" follows Tracking.cc:1091 exactly (0.4 while the map has
+    # <2 KFs, 0.75 after).
+    kf_ref_schedule: str = "stereo_sharp"
 
 
 @dataclasses.dataclass
@@ -167,6 +173,18 @@ class SlamConfig:
         return self.camera.bf * self.th_depth / self.camera.fx if self.camera.fx else 0.0
 
     # ------------------------------------------------------------------
+    def reference_exact(self) -> "SlamConfig":
+        """A copy with every reasoned behavioral deviation switched back to
+        the reference's exact behavior, for paper-parity runs: raw
+        constant-velocity extrapolation (Tracking.cc:466-469) and the
+        thRefRatio keyframe schedule of Tracking.cc:1091.  Ingesting a
+        reference YAML and calling this gives a drop-in-exact config."""
+        import copy
+        cfg = copy.deepcopy(self)
+        cfg.optimizer.velocity_damping = 1.0
+        cfg.optimizer.kf_ref_schedule = "reference"
+        return cfg
+
     @classmethod
     def from_yaml(cls, path: str | Path) -> "SlamConfig":
         """Ingest a reference-format YAML settings file verbatim."""

@@ -281,7 +281,7 @@ def sharded_human_bundle_adjust(mesh: Mesh, axis: str = "edges",
             mot_R, mot_t, traj_valid, pose_dt, motion_edge_valid,
             sigma_static, sigma_human, sigma_rigidity, sigma_motion,
             th_huber_motion, th_ransac_motion, th_ransac_rigidity,
-            fx, fy, cx, cy, bf):
+            fx, fy, cx, cy, bf, use_huber=True):
         def shard_fn(cam_R, cam_t, cam_fixed, points, point_valid,
                      es_cam_s, es_pt_s, es_obs_s, es_info_s, es_valid_s,
                      joints, joint_exists, jo_cam, jo_obs, jo_valid,
@@ -295,7 +295,7 @@ def sharded_human_bundle_adjust(mesh: Mesh, axis: str = "edges",
                 mot_R, mot_t, traj_valid, pose_dt, motion_edge_valid,
                 sigma_static, sigma_human, sigma_rigidity, sigma_motion,
                 th_huber_motion, th_ransac_motion, th_ransac_rigidity,
-                fx, fy, cx, cy, bf,
+                fx, fy, cx, cy, bf, use_huber=use_huber,
                 iters1=iters1, iters2=iters2, axis_name=axis)
 
         rep = [P()] * 5 + [P(axis)] * 5 + [P()] * 13

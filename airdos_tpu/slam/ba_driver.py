@@ -9,6 +9,7 @@
 """
 from __future__ import annotations
 
+import warnings
 from typing import Dict, List
 
 import jax
@@ -21,8 +22,107 @@ from airdos_tpu.matching.fuse import fuse_candidates
 from airdos_tpu.slam.map import (BODY1, BODY2, KeyFrame, N_PARTS, SlamMap,
                                  TH_LONG_TRAJECTORY)
 from airdos_tpu.solvers.local_ba import local_bundle_adjust
+from airdos_tpu.utils.obs import span
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def collect_window_points(m: SlamMap, local_ids, cap: int) -> np.ndarray:
+    """Unique live map points observed by the given KFs — one vectorized
+    pass over the KFs' feature->point tables instead of a per-observation
+    Python loop (the reference walks mvpMapPoints per KF,
+    Optimizer.cc:466-480)."""
+    pt = m.points
+    cols = [m.kfs[kid].mp_idx for kid in local_ids]
+    if not cols:
+        return np.empty(0, np.int64)
+    pids = np.concatenate(cols)
+    pids = np.unique(pids[pids >= 0])
+    pids = pids[~pt.bad[pids]]
+    return pids[:cap].astype(np.int64)
+
+
+def point_slot_lookup(m: SlamMap, point_ids: np.ndarray) -> np.ndarray:
+    """Dense point-id -> problem-slot table (-1 = not in the problem)."""
+    sel = np.full(m.points.pos.shape[0], -1, np.int32)
+    sel[point_ids] = np.arange(len(point_ids), dtype=np.int32)
+    return sel
+
+
+def find_fixed_observers(m: SlamMap, local_set, sel: np.ndarray,
+                         max_fixed: int, tag: str) -> List[int]:
+    """ALL keyframes outside the window that observe a window point anchor
+    the problem (reference Optimizer.cc:506-527 lFixedCameras has no cap;
+    capping drops constraints and lets window points drift).  Vectorized
+    membership check per KF via the slot table."""
+    fixed_ids: List[int] = []
+    for kid in sorted(m.kfs):
+        k = m.kfs[kid]
+        if kid in local_set or k.bad:
+            continue
+        mp = k.mp_idx
+        hit = mp[mp >= 0]
+        if hit.size and (sel[hit] >= 0).any():
+            fixed_ids.append(kid)
+    if len(fixed_ids) > max_fixed:
+        warnings.warn(f"{tag}: {len(fixed_ids)} fixed observers, "
+                      f"keeping {max_fixed}")
+        fixed_ids = fixed_ids[:max_fixed]
+    return fixed_ids
+
+
+def assemble_edges(m: SlamMap, cam_ids, sel: np.ndarray,
+                   inv_sigma2: np.ndarray):
+    """Stereo-projection edge table for (cam in cam_ids, point in slot
+    table): one vectorized gather per camera over its feature->point
+    table.  Returns unpadded columns plus the (point_id, kf_id, feat_id)
+    reference columns used for outlier-observation write-back."""
+    bc, bp, bo, bi = [], [], [], []
+    rp, rk, rf = [], [], []
+    for ci, kid in enumerate(cam_ids):
+        k = m.kfs[kid]
+        fid = np.nonzero(k.mp_idx >= 0)[0]
+        pid = k.mp_idx[fid]
+        li = sel[pid]
+        keep = li >= 0
+        fid, pid, li = fid[keep], pid[keep], li[keep]
+        if not fid.size:
+            continue
+        bc.append(np.full(len(fid), ci, np.int32))
+        bp.append(li.astype(np.int32))
+        bo.append(np.stack([k.xy_un[fid, 0], k.xy_un[fid, 1],
+                            k.u_right[fid]], axis=1).astype(np.float32))
+        bi.append(inv_sigma2[k.octave[fid]])
+        rp.append(pid.astype(np.int64))
+        rk.append(np.full(len(fid), kid, np.int64))
+        rf.append(fid.astype(np.int64))
+    if not bc:
+        z = np.empty(0, np.int64)
+        return (np.empty(0, np.int32), np.empty(0, np.int32),
+                np.empty((0, 3), np.float32), np.empty(0, np.float32),
+                z, z, z)
+    return (np.concatenate(bc), np.concatenate(bp), np.concatenate(bo),
+            np.concatenate(bi).astype(np.float32),
+            np.concatenate(rp), np.concatenate(rk), np.concatenate(rf))
+
+
+def pad_edge_table(e_cam, e_pt, e_obs, e_info, E: int):
+    """Place the unpadded columns into fixed-capacity arrays (invalid rows
+    flagged false)."""
+    n_e = min(len(e_cam), E)
+    c = np.zeros(E, np.int32)
+    p = np.zeros(E, np.int32)
+    o = np.full((E, 3), -1.0, np.float32)
+    w = np.ones(E, np.float32)
+    v = np.zeros(E, bool)
+    c[:n_e] = e_cam[:n_e]
+    p[:n_e] = e_pt[:n_e]
+    o[:n_e] = e_obs[:n_e]
+    w[:n_e] = e_info[:n_e]
+    v[:n_e] = True
+    return c, p, o, w, v, n_e
 
 
 class _StickyBucket:
@@ -70,36 +170,12 @@ class StaticLocalBA:
                                if not m.kfs[k].bad][: self.config.device.max_local_kfs - 1]
         local_set = set(local_ids)
 
-        point_ids: List[int] = []
-        pset = set()
-        for kid in local_ids:
-            k = m.kfs[kid]
-            for pid in k.mp_idx[k.mp_idx >= 0]:
-                p = int(pid)
-                if p not in pset and not pt.bad[p]:
-                    pset.add(p)
-                    point_ids.append(p)
-        point_ids = point_ids[: self.P]
-        pset = set(point_ids)
-
-        # fixed observers: ALL keyframes seeing a window point but not in
-        # the window itself anchor the problem (reference Optimizer.cc:
-        # 506-527 lFixedCameras has no cap; capping drops constraints and
-        # lets window points drift to fit recent drifted keyframes)
-        fixed_ids: List[int] = []
-        fset = set()
-        for p in point_ids:
-            for kid in pt.obs[p]:
-                if kid not in local_set and kid not in fset and not m.kfs[kid].bad:
-                    fset.add(kid)
-                    fixed_ids.append(kid)
-        max_fixed = self.max_cams - len(local_ids)
-        if len(fixed_ids) > max_fixed:
-            import warnings
-            warnings.warn(f"StaticLocalBA: {len(fixed_ids)} fixed observers, "
-                          f"keeping {max_fixed}")
-            fixed_ids = fixed_ids[: max_fixed]
-            fset = set(fixed_ids)
+        point_ids = collect_window_points(m, local_ids, self.P)
+        sel = point_slot_lookup(m, point_ids)
+        fixed_ids = find_fixed_observers(
+            m, local_set, sel, self.max_cams - len(local_ids),
+            "StaticLocalBA")
+        fset = set(fixed_ids)
 
         cam_ids = local_ids + fixed_ids
         cam_index = {kid: i for i, kid in enumerate(cam_ids)}
@@ -109,9 +185,6 @@ class StaticLocalBA:
 
         C = self._cb.fit(n_cam)
         P = self._pb.fit(len(point_ids))
-        point_ids = point_ids[:P]
-        n_edges_est = sum(len(pt.obs[p]) for p in point_ids)
-        E = self._eb.fit(n_edges_est)
         cam_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
         cam_t = np.zeros((C, 3), np.float32)
         cam_fixed = np.ones(C, bool)
@@ -124,32 +197,15 @@ class StaticLocalBA:
         pvalid = np.zeros(P, bool)
         pts[:len(point_ids)] = pt.pos[point_ids]
         pvalid[:len(point_ids)] = True
-        p_index = {p: i for i, p in enumerate(point_ids)}
 
-        e_cam = np.zeros(E, np.int32)
-        e_pt = np.zeros(E, np.int32)
-        e_obs = np.full((E, 3), -1.0, np.float32)
-        e_info = np.ones(E, np.float32)
-        e_valid = np.zeros(E, bool)
-        e_ref = []      # (pid, kf_id, fid) for write-back
-        n_e = 0
-        for p in point_ids:
-            for kid, fid in pt.obs[p].items():
-                ci = cam_index.get(kid)
-                if ci is None:
-                    continue
-                if n_e >= E:
-                    break
-                k = m.kfs[kid]
-                e_cam[n_e] = ci
-                e_pt[n_e] = p_index[p]
-                e_obs[n_e] = [k.xy_un[fid, 0], k.xy_un[fid, 1], k.u_right[fid]]
-                e_info[n_e] = self.inv_sigma2[k.octave[fid]]
-                e_valid[n_e] = True
-                e_ref.append((p, kid, fid))
-                n_e += 1
+        ec, ep, eo, ei, ref_p, ref_kf, ref_fid = assemble_edges(
+            m, cam_ids, sel, self.inv_sigma2)
+        E = self._eb.fit(len(ec))
+        if self.config.device.n_chips > 1:
+            E = _round_up(E, self.config.device.n_chips)
+        e_cam, e_pt, e_obs, e_info, e_valid, n_e = pad_edge_table(
+            ec, ep, eo, ei, E)
 
-        from airdos_tpu.utils.obs import span
         with span(self.profiler, "ba.solve"):
             res = self._jit(jnp.asarray(cam_R), jnp.asarray(cam_t),
                             jnp.asarray(cam_fixed),
@@ -163,18 +219,17 @@ class StaticLocalBA:
 
         import os
         if os.environ.get("AIRDOS_BA_DEBUG") == "1":
-            n_demoted = int(sum(1 for i in range(len(e_ref))
-                                if e_valid[i] and not inlier[i]))
+            demoted = np.nonzero(~inlier[:n_e])[0]
             newest = max(local_ids)
-            old_pt = {p for p in point_ids
+            old_pt = {int(p) for p in point_ids
                       if min(pt.obs[p], default=newest) < newest - 4}
-            n_dem_old = int(sum(1 for i, (p, kid, fid) in enumerate(e_ref)
-                                if e_valid[i] and not inlier[i]
-                                and p in old_pt and kid in local_set))
+            n_dem_old = int(sum(1 for i in demoted
+                                if int(ref_p[i]) in old_pt
+                                and int(ref_kf[i]) in local_set))
             dpose = max(float(np.linalg.norm(t_out[i] - cam_t[i]))
                         for kid, i in cam_index.items() if not cam_fixed[i])
             print(f"[BA kf={kf.id}] cams={n_cam} pts={len(point_ids)} "
-                  f"edges={n_e} demoted={n_demoted} "
+                  f"edges={n_e} demoted={len(demoted)} "
                   f"demoted_old_edges={n_dem_old} max_dpose={dpose:.4f}",
                   flush=True)
 
@@ -183,10 +238,9 @@ class StaticLocalBA:
                 if not cam_fixed[i]:
                     m.kfs[kid].set_pose(R_out[i], t_out[i])
             pt.pos[point_ids] = pts_out[:len(point_ids)]
-            # erase outlier observations
-            for i, (p, kid, fid) in enumerate(e_ref):
-                if e_valid[i] and not inlier[i]:
-                    m.erase_observation(p, kid)
+            # erase outlier observations (usually a handful)
+            for i in np.nonzero(~inlier[:n_e])[0]:
+                m.erase_observation(int(ref_p[i]), int(ref_kf[i]))
             m.update_points_normal_depth(point_ids)
 
 
@@ -523,7 +577,10 @@ class HumanLocalBA:
         # start (and stay) at their cap
         self._tb = _StickyBucket(min(8, self.T), self.T)
         self._lb = _StickyBucket(min(8, self.L), self.L)
-        if dev.n_chips > 1 and self.E % dev.n_chips == 0:
+        if dev.n_chips > 1:
+            # pad the static edge capacity up to a mesh multiple instead
+            # of silently falling back to single-chip
+            self.E = _round_up(self.E, dev.n_chips)
             from airdos_tpu.parallel.sharded_ba import (
                 make_mesh, sharded_human_bundle_adjust)
             self._jit = sharded_human_bundle_adjust(make_mesh(dev.n_chips))
@@ -544,26 +601,13 @@ class HumanLocalBA:
                                if not m.kfs[k].bad][: dev.max_local_kfs - 1]
         local_set = set(local_ids)
 
-        # local points
-        point_ids, pset = [], set()
-        for kid in local_ids:
-            k = m.kfs[kid]
-            for pid in k.mp_idx[k.mp_idx >= 0]:
-                p = int(pid)
-                if p not in pset and not pt.bad[p]:
-                    pset.add(p)
-                    point_ids.append(p)
-        point_ids = point_ids[: self.P]
-
-        # ALL outside observers anchor the problem (see StaticLocalBA)
-        fixed_ids, fset = [], set()
-        for p in point_ids:
-            for kid in pt.obs[p]:
-                if kid not in local_set and kid not in fset and \
-                        kid in m.kfs and not m.kfs[kid].bad:
-                    fset.add(kid)
-                    fixed_ids.append(kid)
-        fixed_ids = fixed_ids[: self.max_cams - len(local_ids)]
+        # local points + ALL outside observers anchoring the problem
+        # (see StaticLocalBA) — vectorized via the feature->point tables
+        point_ids = collect_window_points(m, local_ids, self.P)
+        sel = point_slot_lookup(m, point_ids)
+        fixed_ids = find_fixed_observers(
+            m, local_set, sel, self.max_cams - len(local_ids),
+            "HumanLocalBA")
         fset = set(fixed_ids)
 
         cam_ids = local_ids + fixed_ids
@@ -607,28 +651,11 @@ class HumanLocalBA:
         pvalid = np.zeros(P, bool)
         pts[:len(point_ids)] = pt.pos[point_ids]
         pvalid[:len(point_ids)] = True
-        p_index = {p: i for i, p in enumerate(point_ids)}
 
-        es_cam = np.zeros(E, np.int32)
-        es_pt = np.zeros(E, np.int32)
-        es_obs = np.full((E, 3), -1.0, np.float32)
-        es_info = np.ones(E, np.float32)
-        es_valid = np.zeros(E, bool)
-        e_ref = []
-        n_e = 0
-        for p in point_ids:
-            for kid, fid in pt.obs[p].items():
-                ci = cam_index.get(kid)
-                if ci is None or n_e >= E:
-                    continue
-                k = m.kfs[kid]
-                es_cam[n_e] = ci
-                es_pt[n_e] = p_index[p]
-                es_obs[n_e] = [k.xy_un[fid, 0], k.xy_un[fid, 1], k.u_right[fid]]
-                es_info[n_e] = self.inv_sigma2[k.octave[fid]]
-                es_valid[n_e] = True
-                e_ref.append((p, kid, fid))
-                n_e += 1
+        ec, ep, eo, ei, ref_p, ref_kf, _ = assemble_edges(
+            m, cam_ids, sel, self.inv_sigma2)
+        es_cam, es_pt, es_obs, es_info, es_valid, n_e = pad_edge_table(
+            ec, ep, eo, ei, E)
 
         # ---- human arrays --------------------------------------------
         joints = np.zeros((T, L, N_PARTS, 3), np.float32)
@@ -690,7 +717,8 @@ class HumanLocalBA:
             opt.sigma_static, opt.sigma_human, opt.sigma_rigidity,
             opt.sigma_motion,
             opt.th_huber_motion, opt.th_ransac_motion, opt.th_ransac_rigidity,
-            self.fx, self.fy, self.cx, self.cy, self.bf)
+            self.fx, self.fy, self.cx, self.cy, self.bf,
+            opt.is_huber)
 
         # ---- write-back ----------------------------------------------
         camR_o = np.asarray(res.cam_R)
@@ -701,10 +729,10 @@ class HumanLocalBA:
         pts_o = np.asarray(res.points)
         pt.pos[point_ids] = pts_o[:len(point_ids)]
         s_in = np.asarray(res.static_inlier)
-        for i, (p, kid, fid) in enumerate(e_ref):
-            if es_valid[i] and not s_in[i]:
-                m.erase_observation(p, kid)
-        m.update_points_normal_depth([p for p in point_ids if not pt.bad[p]])
+        for i in np.nonzero(~s_in[:n_e])[0]:
+            m.erase_observation(int(ref_p[i]), int(ref_kf[i]))
+        m.update_points_normal_depth(
+            [int(p) for p in point_ids if not pt.bad[p]])
 
         joints_o = np.asarray(res.joints)
         seg_o = np.asarray(res.seg_len)
@@ -713,7 +741,13 @@ class HumanLocalBA:
         key_in = np.asarray(res.key_inlier)
         rig_in = np.asarray(res.rigid_inlier)
         mot_in = np.asarray(res.motion_inlier)
-        torso_list = [1, 2, 5, 11, 8]
+        torso = np.asarray([1, 2, 5, 11, 8])
+        body1 = np.asarray(BODY1)
+        body2 = np.asarray(BODY2)
+        rig_bad = seg_edge_valid & ~rig_in       # [T, L, S]
+        rig_ok = seg_edge_valid & rig_in
+        proj_bad = jo_valid & ~key_in
+        mot_bad = motion_edge_valid & ~mot_in    # [T, L, 5]
         for t, traj in enumerate(trajs):
             if not traj_valid[t]:
                 continue
@@ -723,32 +757,26 @@ class HumanLocalBA:
             traj.segment_len = seg_o[t]
             traj.optimized = True
             self.map.optimized_track_ids.add(traj.track_id)
+            # rigidity outliers: segment bIsBad whenever any window pose
+            # broke it, bOptimized whenever any window pose passed
+            traj.segment_bad |= rig_bad[t, :len(sel)].any(axis=0)
+            traj.segment_optimized |= rig_ok[t, :len(sel)].any(axis=0)
             for li, pi in enumerate(sel):
                 hp = traj.poses[pi]
                 hp.joints_w[:N_PARTS] = joints_o[t, li]
                 hp.optimized[:N_PARTS] = True
-                # rigidity outliers: segment bIsBad + endpoint first/second
-                # flags; both-bad endpoints become bIsBad joints
+                # both-bad rigidity endpoints become bIsBad joints
                 first_bad = np.zeros(18, bool)
                 second_bad = np.zeros(18, bool)
-                for s in range(N_PARTS):
-                    if seg_edge_valid[t, li, s] and not rig_in[t, li, s]:
-                        traj.segment_bad[s] = True
-                        first_bad[BODY1[s]] = True
-                        second_bad[BODY2[s]] = True
-                    elif seg_edge_valid[t, li, s] and rig_in[t, li, s]:
-                        traj.segment_optimized[s] = True
+                first_bad[body1[rig_bad[t, li]]] = True
+                second_bad[body2[rig_bad[t, li]]] = True
                 hp.bad[:18] |= first_bad & second_bad
                 # projection outliers -> bIsBad
-                for kjoint in range(N_PARTS):
-                    if jo_valid[t, li, kjoint] and not key_in[t, li, kjoint]:
-                        hp.bad[kjoint] = True
+                hp.bad[:N_PARTS] |= proj_bad[t, li]
                 # motion outliers -> bIsLost on the FIRST pose's joint
-                if li < mot_in.shape[1]:
-                    for si, kjoint in enumerate(torso_list):
-                        if motion_edge_valid[t, li, si] and not mot_in[t, li, si]:
-                            hp.lost[kjoint] = True
-                            traj.bad_count += 1
+                mb = mot_bad[t, li]
+                hp.lost[torso[mb]] = True
+                traj.bad_count += int(mb.sum())
 
 
 class GlobalBA:
@@ -859,18 +887,16 @@ class GlobalBA:
         if len(kfs) < 2:
             return None
         if len(kfs) > self.max_kfs:
-            import warnings
             warnings.warn(f"GlobalBA: map has {len(kfs)} keyframes, above "
                           f"the {self.max_kfs} budget; truncating")
             kfs = kfs[: self.max_kfs]
         cam_index = {k.id: i for i, k in enumerate(kfs)}
-        point_ids = [int(p) for p in pt.live_ids()][: self.max_points]
+        point_ids = np.asarray(pt.live_ids(),
+                               dtype=np.int64)[: self.max_points]
         if len(point_ids) < 10:
             return None
         C = self._cb.fit(len(kfs))
         P = self._pb.fit(len(point_ids))
-        n_edges = sum(len(pt.obs[p]) for p in point_ids)
-        E = self._eb.fit(n_edges)
 
         cam_R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
         cam_t = np.zeros((C, 3), np.float32)
@@ -884,26 +910,15 @@ class GlobalBA:
         pvalid = np.zeros(P, bool)
         pts[:len(point_ids)] = pt.pos[point_ids]
         pvalid[:len(point_ids)] = True
-        p_index = {p: i for i, p in enumerate(point_ids)}
 
-        e_cam = np.zeros(E, np.int32)
-        e_pt = np.zeros(E, np.int32)
-        e_obs = np.full((E, 3), -1.0, np.float32)
-        e_info = np.ones(E, np.float32)
-        e_valid = np.zeros(E, bool)
-        n_e = 0
-        for p in point_ids:
-            for kid, fid in pt.obs[p].items():
-                ci = cam_index.get(kid)
-                if ci is None or n_e >= E:
-                    continue
-                k = m.kfs[kid]
-                e_cam[n_e] = ci
-                e_pt[n_e] = p_index[p]
-                e_obs[n_e] = [k.xy_un[fid, 0], k.xy_un[fid, 1], k.u_right[fid]]
-                e_info[n_e] = self.inv_sigma2[k.octave[fid]]
-                e_valid[n_e] = True
-                n_e += 1
+        sel = point_slot_lookup(m, point_ids)
+        ec, ep, eo, ei, _, _, _ = assemble_edges(
+            m, [k.id for k in kfs], sel, self.inv_sigma2)
+        E = self._eb.fit(len(ec))
+        if self._n_chips > 1:
+            E = _round_up(E, self._n_chips)
+        e_cam, e_pt, e_obs, e_info, e_valid, _ = pad_edge_table(
+            ec, ep, eo, ei, E)
 
         return dict(cam_index=cam_index, point_ids=point_ids,
                     cam_R0=cam_R.copy(), cam_t0=cam_t.copy(),
@@ -921,14 +936,6 @@ class GlobalBA:
                      jnp.asarray(e_obs), jnp.asarray(e_info),
                      jnp.asarray(e_valid),
                      self.fx, self.fy, self.cx, self.cy, self.bf)
-        if self._n_chips > 1:
-            from airdos_tpu.parallel.sharded_ba import \
-                sharded_global_bundle_adjust
-            fn = sharded_global_bundle_adjust(
-                self._mesh, iters1=n_iters // 2, iters2=n_iters)
-            return fn(jnp.asarray(cam_R), jnp.asarray(cam_t),
-                      jnp.asarray(cam_fixed), jnp.asarray(pts),
-                      jnp.asarray(pvalid), *args_tail)
         chunk = 5
         n_chunks = max(1, -(-n_iters // chunk))
         R, t, ps = jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(pts)
@@ -940,10 +947,33 @@ class GlobalBA:
                 break
             i1 = chunk // 2 if ci == 0 else 0    # Huber phase only first
             i2 = chunk - i1
-            res = self._jit(R, t, cfx, ps, pv, *args_tail,
-                            iters1=i1, iters2=i2, cg_iters=48)
+            res = self._chunk_fn(i1, i2)(R, t, cfx, ps, pv, *args_tail)
             R, t, ps = res.R, res.t, res.points
         return res
+
+    def _chunk_fn(self, i1: int, i2: int, cg_iters: int = 48):
+        """One solver dispatch covering i1 Huber + i2 plain LM iterations.
+        Both the single-chip and the sharded path solve in these chunks so
+        a pending abort (mbStopGBA, Optimizer.cc:121-129) can interrupt a
+        multi-chip GBA between dispatches; compiled variants are cached
+        per (i1, i2)."""
+        key = (i1, i2, cg_iters)
+        cache = getattr(self, "_chunk_cache", None)
+        if cache is None:
+            cache = self._chunk_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            if self._n_chips > 1:
+                from airdos_tpu.parallel.sharded_ba import \
+                    sharded_global_bundle_adjust
+                fn = sharded_global_bundle_adjust(
+                    self._mesh, iters1=i1, iters2=i2, cg_iters=cg_iters)
+            else:
+                from functools import partial
+                fn = partial(self._jit, iters1=i1, iters2=i2,
+                             cg_iters=cg_iters)
+            cache[key] = fn
+        return fn
 
     def _write_back(self, problem, res):
         """Write solved poses/points; propagate the correction to

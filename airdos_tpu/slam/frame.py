@@ -68,6 +68,33 @@ class FrontEnd:
                                       orb.n_levels, orb.ini_th_fast, orb.min_th_fast)
         self._widths = None
         self._build = jax.jit(self._build_impl, static_argnames=("with_disparity",))
+        self._prefetched: dict = {}
+
+    # ------------------------------------------------------------ uploads
+    def _upload(self, data):
+        """Async uint8 image (+mask) uploads (device_put returns
+        immediately; uint8 — f32 costs ~4x on transfer)."""
+        imL = jax.device_put(np.asarray(data.image_left, np.uint8))
+        imR = jax.device_put(np.asarray(data.image_right, np.uint8))
+        if self.config.system.is_mask and data.seg_left is not None:
+            maskL = jax.device_put((data.seg_left == 0).astype(np.uint8))
+            maskR = jax.device_put((data.seg_right == 0).astype(np.uint8))
+        else:
+            maskL = maskR = None
+        return imL, imR, maskL, maskR
+
+    def prefetch(self, data):
+        """Start the next frame's uploads early so the ~30 ms/image
+        transfer overlaps the current frame's device compute (the
+        reference's IO thread reads images ahead; here the copy engine is
+        the overlap axis).  Only the newest prefetch is kept."""
+        if data.index not in self._prefetched:
+            self._prefetched = {data.index: self._upload(data)}
+
+    def uploads(self, data):
+        """This frame's device images: prefetched if available."""
+        arrs = self._prefetched.pop(data.index, None)
+        return arrs if arrs is not None else self._upload(data)
 
     def _build_impl(self, imL, imR, maskL, maskR, torso_px,
                     with_disparity: bool):
@@ -102,15 +129,10 @@ class FrontEnd:
     def build_frame(self, data, index: int = None) -> "Frame":
         """data: io.datasets.FrameData."""
         cfg = self.config
-        # uint8 uploads — the device program casts to f32
-        imL = jnp.asarray(np.asarray(data.image_left, np.uint8))
-        imR = jnp.asarray(np.asarray(data.image_right, np.uint8))
-        use_mask = cfg.system.is_mask and data.seg_left is not None
-        if use_mask:
-            # seg nonzero = dynamic -> usable mask is (seg == 0)
-            maskL = jnp.asarray((data.seg_left == 0).astype(np.uint8))
-            maskR = jnp.asarray((data.seg_right == 0).astype(np.uint8))
-        else:
+        # uint8 uploads — the device program casts to f32; seg nonzero =
+        # dynamic -> usable mask is (seg == 0)
+        imL, imR, maskL, maskR = self.uploads(data)
+        if maskL is None:
             maskL = jnp.ones((cfg.camera.height, cfg.camera.width), jnp.uint8)
             maskR = maskL
         use_gt_depth = cfg.system.is_ground_truth_depth and data.depth is not None

@@ -22,7 +22,9 @@ class KeyFrameDatabase:
     def __init__(self, vocabulary: Vocabulary, slam_map: SlamMap):
         self.voc = vocabulary
         self.map = slam_map
-        self.inverted: Dict[int, List[int]] = defaultdict(list)
+        # word -> set of KF ids: O(1) erase (the reference's std::list
+        # remove is O(n) per word — wrong shape at 1000-KF maps)
+        self.inverted: Dict[int, Set[int]] = defaultdict(set)
 
     def ensure_bow(self, kf: KeyFrame):
         if kf.bow is None:
@@ -37,18 +39,21 @@ class KeyFrameDatabase:
         kf._in_db = True
         self.ensure_bow(kf)
         for w in kf.bow:
-            self.inverted[w].append(kf.id)
+            self.inverted[w].add(kf.id)
 
     def erase(self, kf: KeyFrame):
         if kf.bow is None:
             return
         for w in kf.bow:
-            lst = self.inverted.get(w)
-            if lst and kf.id in lst:
-                lst.remove(kf.id)
+            s = self.inverted.get(w)
+            if s is not None:
+                s.discard(kf.id)
+        kf._in_db = False
 
     def clear(self):
-        self.inverted = defaultdict(list)
+        self.inverted = defaultdict(set)
+        for kf in self.map.kfs.values():
+            kf._in_db = False
 
     # ------------------------------------------------------------------
     def _shared_word_counts(self, bow: Dict[int, float],

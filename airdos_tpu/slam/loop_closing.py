@@ -119,13 +119,20 @@ class LoopCloser:
                 pairs.append((f1, f2, p1, p2))
         if len(pairs) < 20:
             return None
+
+        def pair_arrays(prs):
+            """Camera-frame points + per-feature sigma2 for (f1, f2, p1, p2)
+            pair rows (feature ids index octaves; point ids index positions)."""
+            f1 = [p[0] for p in prs]
+            f2 = [p[1] for p in prs]
+            x1 = np.asarray([kf.Rcw @ pt.pos[p1] + kf.tcw
+                             for _, _, p1, _ in prs], np.float32)
+            x2 = np.asarray([ckf.Rcw @ pt.pos[p2] + ckf.tcw
+                             for _, _, _, p2 in prs], np.float32)
+            return x1, x2, self.sigma2[kf.octave[f1]], self.sigma2[ckf.octave[f2]]
+
         n = len(pairs)
-        x1 = np.asarray([kf.Rcw @ pt.pos[p1] + kf.tcw for _, _, p1, _ in pairs],
-                        np.float32)
-        x2 = np.asarray([ckf.Rcw @ pt.pos[p2] + ckf.tcw for _, _, _, p2 in pairs],
-                        np.float32)
-        s1 = self.sigma2[kf.octave[[p[0] for p in pairs]]]
-        s2 = self.sigma2[ckf.octave[[p[1] for p in pairs]]]
+        x1, x2, s1, s2 = pair_arrays(pairs)
         samples = self.rng.integers(0, n, (256, 3)).astype(np.int32)
         res = sim3_ransac(jnp.asarray(x1), jnp.asarray(x2),
                           jnp.ones(n, bool), jnp.asarray(samples),
@@ -143,16 +150,10 @@ class LoopCloser:
         pairs = pairs + grown
 
         n = len(pairs)
-        x1 = np.asarray([kf.Rcw @ pt.pos[p1] + kf.tcw for _, _, p1, _ in pairs],
-                        np.float32)
-        x2 = np.asarray([ckf.Rcw @ pt.pos[p2] + ckf.tcw for _, _, _, p2 in pairs],
-                        np.float32)
-        s1 = self.sigma2[kf.octave[[p[0] for p in pairs]]]
-        s2 = self.sigma2[ckf.octave[[p[1] for p in pairs]]]
+        x1, x2, s1, s2 = pair_arrays(pairs)
         obs1 = kf.xy_un[[p[0] for p in pairs]].astype(np.float32)
         obs2 = ckf.xy_un[[p[1] for p in pairs]].astype(np.float32)
-        valid0 = np.zeros(n, bool)
-        valid0[:] = True
+        valid0 = np.ones(n, bool)
         R, t, s, inl, n_in = optimize_sim3(
             res.R, res.t, res.s,
             jnp.asarray(x1), jnp.asarray(obs1), jnp.asarray(s1),

@@ -111,6 +111,25 @@ class System:
         with self._map_lock:
             self.tracking.only_tracking = False
 
+    def reset(self):
+        """User-triggered full reset (reference System::Reset handshake,
+        System.cc:308-311, serviced by Tracking::Reset,
+        Tracking.cc:1656-1705: stop background optimization, clear the BoW
+        database and the map, restart tracking from scratch)."""
+        self.global_ba.interrupt(wait=True)        # outside the map lock
+        with self._map_lock:
+            if self._map_queue is not None:
+                while not self._map_queue.empty():
+                    self._map_queue.get_nowait()
+            self.tracking._reset()
+            if self.keyframe_db is not None:
+                self.keyframe_db.clear()
+            if self.loop_closer is not None:
+                self.loop_closer._consistent_groups = []
+                self.loop_closer._last_loop_kf = -1e9
+            self._last_human_ba_frame = self._frame_count
+        self.events.emit("reset")
+
     def _init_place_recognition(self):
         from airdos_tpu.slam.keyframe_db import KeyFrameDatabase
         from airdos_tpu.slam.loop_closing import LoopCloser
@@ -189,8 +208,34 @@ class System:
                 import traceback
                 traceback.print_exc()
 
+    def _to_gray(self, img: np.ndarray) -> np.ndarray:
+        """Color -> grayscale honoring Camera.RGB channel order (reference
+        Tracking.cc:247-272 cvtColor CV_RGB2GRAY / CV_BGR2GRAY)."""
+        if img.ndim == 2:
+            return img
+        w = np.asarray([0.299, 0.587, 0.114], np.float32)
+        if not self.config.camera.rgb:      # BGR input
+            w = w[::-1]
+        return (img[..., :3].astype(np.float32) @ w)
+
+    def prefetch(self, data: FrameData):
+        """Begin the async device upload of a FUTURE frame's images so the
+        ~30 ms/image transfer overlaps the current frame's compute — call
+        with frame i+1 before (or while) tracking frame i."""
+        if data.image_left.ndim == 3 or data.image_right.ndim == 3:
+            import dataclasses as _dc
+            data = _dc.replace(data,
+                               image_left=self._to_gray(data.image_left),
+                               image_right=self._to_gray(data.image_right))
+        self.frontend.prefetch(data)
+
     def _track(self, data: FrameData):
         from airdos_tpu.utils.obs import span
+        if data.image_left.ndim == 3 or data.image_right.ndim == 3:
+            import dataclasses as _dc
+            data = _dc.replace(data,
+                               image_left=self._to_gray(data.image_left),
+                               image_right=self._to_gray(data.image_right))
         t0 = time.perf_counter()
         with span(self.profiler, "track"):
             frame = self.tracking.track(data)

@@ -116,9 +116,7 @@ class Tracking:
         """Process one stereo frame (GrabImageStereo[Human] + OffLineTrack)."""
         frame = None
         fast_ok = None
-        import os as _os
-        if _os.environ.get("AIRDOS_NO_REANCHOR") != "1":
-            self._reanchor_last_frame()
+        self._reanchor_last_frame()
         # the motion model is unusable right after relocalization (velocity
         # spans a lost/garbage pose) — force reference-KF tracking for two
         # frames (reference Tracking.cc:587: mnId < mnLastRelocFrameId+2)
@@ -319,14 +317,10 @@ class Tracking:
         backward = bool(-t_lc[2] > self.baseline)
 
         cfg = self.config
-        # uint8 uploads: the device casts; f32 images cost 100x on transfer
-        imL = jnp.asarray(np.asarray(data.image_left, np.uint8))
-        imR = jnp.asarray(np.asarray(data.image_right, np.uint8))
-        use_mask = cfg.system.is_mask and data.seg_left is not None
-        if use_mask:
-            maskL = jnp.asarray((data.seg_left == 0).astype(np.uint8))
-            maskR = jnp.asarray((data.seg_right == 0).astype(np.uint8))
-        else:
+        # uint8 uploads (possibly prefetched): the device casts; f32
+        # images cost ~4x on transfer
+        imL, imR, maskL, maskR = self.frontend.uploads(data)
+        if maskL is None:
             maskL = self._ones_mask_dev
             maskR = self._ones_mask_dev
         want_disp = bool(cfg.human.ok and data.humans_left is not None
@@ -634,7 +628,9 @@ class Tracking:
         cands = db.detect_reloc_candidates(bow)
         pt = self.map.points
         rng = np.random.default_rng(frame.index)
-        for kid in cands[:8]:
+        # try ALL candidates until one passes (the reference iterates its
+        # whole vpCandidateKFs set, Tracking.cc:1516-1654)
+        for kid in cands:
             kf = self.map.kfs.get(kid)
             if kf is None or kf.bad:
                 continue
@@ -918,8 +914,12 @@ class Tracking:
         # keyframe until tracking has already decayed (close points gone,
         # first new KF lands on a drifted pose, drift compounds).  Keeping
         # the stereo ratio at 0.75 from the start inserts KF1 while the
-        # pose is still sharp.
-        th_ref = 0.75
+        # pose is still sharp.  SlamConfig.reference_exact() selects the
+        # reference schedule instead.
+        if self.config.optimizer.kf_ref_schedule == "reference":
+            th_ref = 0.4 if n_kfs < 2 else 0.75
+        else:
+            th_ref = 0.75
         frames_since = frame.index - self._kf_frame_index()
         c1a = frames_since >= self.max_frames
         c1b = frames_since >= self.min_frames
@@ -1029,7 +1029,12 @@ class Tracking:
 
     def _record_frame(self, frame: Frame):
         lost = self.state != TrackState.OK
-        if frame.ref_kf_id is None or frame.ref_kf_id not in self.map.kfs:
+        # while LOST, repeat the last relative pose instead of exporting
+        # the failed frame's own (possibly garbage) pose — the reference
+        # duplicates mlRelativeFramePoses.back() when tracking fails
+        # (Tracking.cc:533-540; System.cc:361-364 `lbL` flag)
+        if lost or frame.ref_kf_id is None \
+                or frame.ref_kf_id not in self.map.kfs:
             if self.records:
                 prev = self.records[-1]
                 self.records.append(FrameRecord(prev.Tcr_R, prev.Tcr_t,

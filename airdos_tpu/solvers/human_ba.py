@@ -101,6 +101,7 @@ def human_bundle_adjust(
         sigma_static, sigma_human, sigma_rigidity, sigma_motion,
         th_huber_motion, th_ransac_motion, th_ransac_rigidity,
         fx, fy, cx, cy, bf,
+        use_huber=True,
         iters1: int = 5, iters2: int = 10,
         axis_name: str | None = None) -> HumanBAResult:
     """With ``axis_name`` set (under shard_map), the STATIC edge tables
@@ -385,8 +386,11 @@ def human_bundle_adjust(
             "h": hp_valid.astype(dtype),
             "r": rg_valid.astype(dtype),
             "m": mo_valid.astype(dtype)}
+    # Optimizer.IsHuber gates the phase-1 robust kernel (reference
+    # Tracking.cc:150 reads the flag; the human-BA edges install
+    # RobustKernelHuber only when set, Optimizer.cc:1599-1616)
     state = (cam_R, cam_t, points, joints, seg_len, mot_R, mot_t)
-    state = run_phase(state, act1, iters1, jnp.asarray(True))
+    state = run_phase(state, act1, iters1, jnp.asarray(use_huber))
 
     chi_s, z_s, chi_h, z_h, chi_r, chi_m = chi2s(*state)
     s_in = es_valid & point_valid[es_pt] & (chi_s <= CHI2_STEREO) & (z_s > 0)

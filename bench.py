@@ -75,9 +75,13 @@ def _run(cfg, frames, gts, n_warm):
     slam = System(cfg)
     fn = slam.track_stereo_human if cfg.human.ok else slam.track_stereo
     for i in range(n_warm):
+        if i + 1 < len(frames):
+            slam.prefetch(frames[i + 1])   # overlap upload with compute
         fn(frames[i])
     t0 = time.perf_counter()
     for i in range(n_warm, len(frames)):
+        if i + 1 < len(frames):
+            slam.prefetch(frames[i + 1])
         fn(frames[i])
     dt = time.perf_counter() - t0
     fps = (len(frames) - n_warm) / dt
@@ -193,12 +197,16 @@ def _bench_global_ba_200kf():
 def main():
     from airdos_tpu.io.synthetic import SyntheticStereoWorld
 
-    n_warm, n_bench = 4, 10
+    # 20 timed frames for the fps headline; speed scaled down so the
+    # longer run covers the same ~0.7 m stable-tracking envelope the
+    # 14-frame run did (drift outside it would contaminate the ATE stat,
+    # not the fps)
+    n_warm, n_bench = 4, 20
     n_total = n_warm + n_bench
 
     # --- section 1: static throughput + clean-scene accuracy ----------
     world = SyntheticStereoWorld(seed=0, n_points=500)
-    Rwc, twc = world.trajectory(n_total, 0.1, yaw_rate=0.005)
+    Rwc, twc = world.trajectory(n_total, 0.1, speed=0.3, yaw_rate=0.005)
     frames = [world.frame(i, Rwc[i], twc[i], i * 0.1, with_humans=False)
               for i in range(n_total)]
     fps_static, ate_clean = _run_reps(lambda: _cfg(human=False), frames,

@@ -35,8 +35,18 @@ def main():
     slam = System(cfg)
 
     times = []
-    for data in seq:
+    # one-frame lookahead: the NEXT frame's image upload is issued before
+    # tracking the current one, so the transfer rides the copy engine
+    # while the device computes (the reference's LoadImages pre-reads all
+    # paths up front, stereo_human.cc:55-74; here the device upload is
+    # the latency to hide)
+    it = iter(seq)
+    nxt = next(it, None)
+    while nxt is not None:
+        data, nxt = nxt, next(it, None)
         t0 = time.perf_counter()
+        if nxt is not None:
+            slam.prefetch(nxt)
         slam.track_stereo_human(data)
         times.append(time.perf_counter() - t0)
 

@@ -42,10 +42,11 @@ class _Ext:
     sigma2 = np.asarray([1.2 ** (2 * i) for i in range(4)], np.float32)
 
 
-def _build_map(rng, N=20, P=60):
+def _build_map(rng, N=20, P=60, n_chips=1):
     """Corridor of N keyframes with noisy poses observing P points."""
     cfg = SlamConfig()
     cfg.camera = small_camera()
+    cfg.device.n_chips = n_chips
     fx, fy, cx, cy, bf = (cfg.camera.fx, cfg.camera.fy, cfg.camera.cx,
                           cfg.camera.cy, cfg.camera.bf)
     m = SlamMap()
@@ -82,8 +83,16 @@ def _build_map(rng, N=20, P=60):
     return cfg, m, pts_gt, gt_tcw, pids
 
 
-def test_async_gba_runs_and_improves(rng):
-    cfg, m, pts_gt, gt_tcw, pids = _build_map(rng)
+import pytest
+
+
+@pytest.mark.parametrize("n_chips", [1, 8])
+def test_async_gba_runs_and_improves(rng, n_chips):
+    """Both the single-chip and the SHARDED (8-device mesh) GBA run in
+    abortable chunks off-thread — a pending abort can interrupt a running
+    multi-chip solve between dispatches (mbStopGBA polling,
+    Optimizer.cc:121-129)."""
+    cfg, m, pts_gt, gt_tcw, pids = _build_map(rng, n_chips=n_chips)
     gba = GlobalBA(cfg, m, _Ext())
     lock = threading.Lock()
     err_before = np.mean([np.linalg.norm(m.kfs[i].tcw - gt_tcw[i])
@@ -130,8 +139,9 @@ def test_new_keyframe_during_gba_gets_propagated(rng):
     np.testing.assert_allclose(rel_after, rel_t, atol=1e-4)
 
 
-def test_second_launch_aborts_first_without_deadlock(rng):
-    cfg, m, pts_gt, gt_tcw, pids = _build_map(rng)
+@pytest.mark.parametrize("n_chips", [1, 8])
+def test_second_launch_aborts_first_without_deadlock(rng, n_chips):
+    cfg, m, pts_gt, gt_tcw, pids = _build_map(rng, n_chips=n_chips)
     gba = GlobalBA(cfg, m, _Ext())
     lock = threading.Lock()
     t0 = time.perf_counter()

@@ -84,6 +84,56 @@ def test_vocabulary_dbow2_binary_roundtrip(rng, tmp_path):
     assert abs(Vocabulary.score(b1, b2) - 1.0) < 1e-5
 
 
+def test_feature_level_is_levelsup_from_leaves(rng):
+    """DBoW2 parity: feature_level means `levelsup` counted UP FROM THE
+    LEAVES, like the reference's transform(desc, bow, feat, 4) call
+    (Frame.cc:713-720) and getParentNode(wid, levelsup)
+    (TemplatedVocabulary.h:143-171) — NOT a depth from the root.  Built
+    with a deep sparse k=10/L=6 tree (uneven, like the real ORBvoc)."""
+    import dataclasses
+    train = random_descs(rng, 3000)
+    base = train_vocabulary(train, k=10, depth=6, seed=3)
+    voc = dataclasses.replace(base, feature_level=4)
+
+    # independent reference walk-up: parent pointers, 4 steps, stop at root
+    n = len(voc.word_id)
+    parent = np.full(n, 0, np.int64)
+    for nid in range(n):
+        for c in voc.children[nid]:
+            if c >= 0:
+                parent[c] = nid
+
+    def get_parent_node(node, levelsup):
+        while levelsup > 0 and node != 0:
+            node = parent[node]
+            levelsup -= 1
+        return node
+
+    word_nodes = np.nonzero(voc.word_id >= 0)[0]
+    for wn in word_nodes[:: max(1, len(word_nodes) // 200)]:
+        assert voc._group_of_node[wn] == get_parent_node(int(wn), 4)
+
+    # the transform's fnodes are those group nodes (grouping ~100x coarser
+    # than node-level-4-from-root on a deep vocabulary)
+    d = _pack_u32(random_descs(rng, 256))
+    _, wids, fnodes = voc.transform(d)
+    groups = np.unique(fnodes)
+    assert len(groups) < len(np.unique(wids)), \
+        "grouping must be coarser than the words themselves"
+
+    # SearchByBoW survives the deep vocabulary: identical descriptor sets
+    # must still match nearly everywhere (with from-the-root semantics the
+    # candidate sets collapse and recall dies)
+    import jax.numpy as jnp
+    from airdos_tpu.matching.bow_match import match_by_bow
+    valid = jnp.ones(256, bool)
+    ang = jnp.zeros(256, jnp.float32)
+    res = match_by_bow(jnp.asarray(d), jnp.asarray(fnodes), valid, ang,
+                       jnp.asarray(d), jnp.asarray(fnodes), valid, ang,
+                       check_rotation=False)
+    assert int(res.n_matches) > 200, int(res.n_matches)
+
+
 def test_horn_align_se3(rng):
     xi = rng.uniform(-1, 1, 6).astype(np.float32)
     R_gt, t_gt = se3_exp(jnp.asarray(xi))

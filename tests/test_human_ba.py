@@ -77,7 +77,8 @@ def build_problem(rng, C=4, P=80, T=1, L=6, joint_noise=0.05, obs_noise=0.5):
         jo_cam=jo_cam, jo_obs=jo_obs, pose_dt=pose_dt, vel=vel, T=T, L=L, P=P, Es=Es)
 
 
-def run_ba(pr, joints0, seg0, mot_t0=None, motion_valid=True, rigidity_valid=True):
+def run_ba(pr, joints0, seg0, mot_t0=None, motion_valid=True,
+           rigidity_valid=True, use_huber=True):
     T, L, P, Es = pr["T"], pr["L"], pr["P"], pr["Es"]
     ones = np.ones((T, L, N_PARTS), bool)
     res = human_bundle_adjust(
@@ -97,8 +98,30 @@ def run_ba(pr, joints0, seg0, mot_t0=None, motion_valid=True, rigidity_valid=Tru
         jnp.full((T, L, 5), motion_valid, bool),
         1.0, 0.5, 20.0, 20.0,       # sigma static/human/rigidity/motion
         1.0, 4.0, 1.0,              # thHuberMotion, thRanSacMotion, thRanSacRigidity
-        pr["fx"], pr["fy"], pr["cx"], pr["cy"], pr["bf"])
+        pr["fx"], pr["fy"], pr["cx"], pr["cy"], pr["bf"],
+        use_huber=use_huber)
     return res
+
+
+def test_is_huber_flag_gates_phase1_robustness(rng):
+    """Optimizer.IsHuber parity (reference Tracking.cc:150 reads the flag;
+    the human-BA edges only install RobustKernelHuber when it is set):
+    with a gross outlier observation, the Huber phase-1 run must recover
+    the joints better than the plain-chi2 run, and the two runs must
+    actually differ."""
+    pr = build_problem(rng)
+    jo = pr["jo_obs"].copy()
+    jo[0, 2, 5, 0] += 400.0          # gross u outlier on one joint
+    jo[0, 2, 5, 1] += 300.0
+    pr = dict(pr, jo_obs=jo)
+    res_h = run_ba(pr, pr["joints0"], pr["seg0"], use_huber=True)
+    res_p = run_ba(pr, pr["joints0"], pr["seg0"], use_huber=False)
+    j_h = np.asarray(res_h.joints)[0, : pr["L"]]
+    j_p = np.asarray(res_p.joints)[0, : pr["L"]]
+    assert not np.allclose(j_h, j_p), "IsHuber flag must change the solve"
+    err_h = np.linalg.norm(j_h - pr["joints_gt"][0], axis=-1).mean()
+    err_p = np.linalg.norm(j_p - pr["joints_gt"][0], axis=-1).mean()
+    assert err_h < err_p, (err_h, err_p)
 
 
 def test_human_ba_recovers_joints_and_segments(rng):

@@ -136,6 +136,81 @@ def test_sharded_human_ba_matches_single_chip(rng):
                                   np.asarray(single.key_inlier))
 
 
+def test_human_ba_driver_pads_edges_to_mesh_multiple(rng):
+    """HumanLocalBA with an edge budget NOT divisible by the mesh size
+    must pad the static edge table up to a mesh multiple and still take
+    the sharded path (no silent single-chip fallback), and the padded
+    sharded solve agrees with the single-chip solve on the unpadded
+    problem (pad rows are es_valid=False)."""
+    from airdos_tpu.config import SlamConfig
+    from airdos_tpu.io.synthetic import small_camera
+    from airdos_tpu.parallel.sharded_ba import sharded_human_bundle_adjust
+    from airdos_tpu.slam.ba_driver import HumanLocalBA
+    from airdos_tpu.slam.map import SlamMap
+    from airdos_tpu.solvers.human_ba import human_bundle_adjust, N_PARTS
+    from test_human_ba import build_problem
+
+    n_dev = len(jax.devices())
+
+    class _Ext:
+        sigma2 = np.asarray([1.2 ** (2 * i) for i in range(4)], np.float32)
+
+    cfg = SlamConfig()
+    cfg.camera = small_camera()
+    cfg.device.n_chips = n_dev
+    cfg.device.max_ba_edges = 1001          # not divisible by 8
+    drv = HumanLocalBA(cfg, SlamMap(), _Ext())
+    assert drv.E % n_dev == 0 and drv.E >= 1001
+    # the sharded path is installed, not the single-chip fallback
+    assert "sharded" in repr(getattr(drv._jit, "__wrapped__", drv._jit))
+
+    # padded sharded solve == single-chip solve on the unpadded problem
+    pr = build_problem(rng, obs_noise=0.2)
+    T, L, P, Es = pr["T"], pr["L"], pr["P"], pr["Es"]
+    pad = (-Es) % n_dev + n_dev             # force real padding rows
+    Ep = Es + pad
+    ones = np.ones((T, L, N_PARTS), bool)
+    pts0 = pr["pts_gt"] + rng.normal(0, 0.05, (P, 3)).astype(np.float32)
+
+    def args(E):
+        es_cam = np.zeros(E, np.int32)
+        es_pt = np.zeros(E, np.int32)
+        es_obs = np.full((E, 3), -1.0, np.float32)
+        es_valid = np.zeros(E, bool)
+        es_cam[:Es] = pr["es_cam"]
+        es_pt[:Es] = pr["es_pt"]
+        es_obs[:Es] = pr["es_obs"]
+        es_valid[:Es] = True
+        return (
+            jnp.asarray(pr["cam_R"]), jnp.asarray(pr["cam_t"]),
+            jnp.asarray(pr["cam_fixed"]),
+            jnp.asarray(pts0), jnp.ones(P, bool),
+            jnp.asarray(es_cam), jnp.asarray(es_pt), jnp.asarray(es_obs),
+            jnp.ones(E, jnp.float32), jnp.asarray(es_valid),
+            jnp.asarray(pr["joints0"]), jnp.asarray(ones),
+            jnp.asarray(pr["jo_cam"]), jnp.asarray(pr["jo_obs"]),
+            jnp.asarray(ones),
+            jnp.asarray(pr["seg0"]), jnp.ones((T, N_PARTS), bool),
+            jnp.asarray(ones),
+            jnp.tile(jnp.eye(3, dtype=jnp.float32), (T, 1, 1)),
+            jnp.zeros((T, 3), jnp.float32), jnp.ones(T, bool),
+            jnp.asarray(pr["pose_dt"]),
+            jnp.ones((T, L, 5), bool),
+            1.0, 0.5, 20.0, 20.0,
+            1.0, 4.0, 1.0,
+            pr["fx"], pr["fy"], pr["cx"], pr["cy"], pr["bf"])
+
+    single = human_bundle_adjust(*args(Es), iters1=4, iters2=6)
+    sharded = sharded_human_bundle_adjust(make_mesh(n_dev), iters1=4,
+                                          iters2=6)(*args(Ep))
+    np.testing.assert_allclose(np.asarray(sharded.cam_t),
+                               np.asarray(single.cam_t), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(sharded.joints),
+                               np.asarray(single.joints), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(sharded.seg_len),
+                               np.asarray(single.seg_len), atol=5e-3)
+
+
 def test_system_runs_with_sharded_ba_drivers():
     """Full System with device.n_chips=8: the tracking + mapping pipeline
     drives the SHARDED local-BA path (ba_driver gating on n_chips) over

@@ -14,6 +14,40 @@ import argparse
 import numpy as np
 
 
+def evo_metrics(est_path: str, gt_path: str):
+    """(ate, rpe_trans, rpe_rot_deg) computed by evo, mirroring the
+    reference's Evaluation/evaluate.py:31-39 (main_ape aligned scale-fixed;
+    main_rpe delta=1 frame, all pairs).  Raises ImportError when evo is
+    not installed — callers fall back to the builtin implementation
+    (tests/test_config_io.py asserts builtin-vs-evo agreement when evo is
+    importable)."""
+    import copy
+
+    from evo.core import metrics, sync
+    from evo.tools import file_interface
+
+    ref = file_interface.read_tum_trajectory_file(gt_path)
+    est = file_interface.read_tum_trajectory_file(est_path)
+    ref_s, est_s = sync.associate_trajectories(ref, est, max_diff=0.02)
+    est_al = copy.deepcopy(est_s)
+    est_al.align(ref_s, correct_scale=False)
+
+    ape = metrics.APE(metrics.PoseRelation.translation_part)
+    ape.process_data((ref_s, est_al))
+    ate = float(ape.get_statistic(metrics.StatisticsType.rmse))
+
+    rpe_t = metrics.RPE(metrics.PoseRelation.translation_part,
+                        delta=1, delta_unit=metrics.Unit.frames,
+                        all_pairs=True)
+    rpe_t.process_data((ref_s, est_al))
+    rpe_r = metrics.RPE(metrics.PoseRelation.rotation_angle_deg,
+                        delta=1, delta_unit=metrics.Unit.frames,
+                        all_pairs=True)
+    rpe_r.process_data((ref_s, est_al))
+    return (ate, float(rpe_t.get_statistic(metrics.StatisticsType.rmse)),
+            float(rpe_r.get_statistic(metrics.StatisticsType.rmse)))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--estimate", required=True)
@@ -38,11 +72,17 @@ def main():
         R_e, t_e = R_e[keep], t_e[keep]
         R_g2, t_g2 = R_g[idx_g[keep]], t_g[idx_g[keep]]
 
-    ate = ate_rmse(t_e, t_g2)
-    rpe_t, rpe_r = rpe(ts_e, R_e, t_e, R_g2, t_g2, delta=1)
+    try:
+        ate, rpe_t, rpe_r = evo_metrics(args.estimate, args.gt)
+        backend = "evo"
+    except ImportError:
+        ate = ate_rmse(t_e, t_g2)
+        rpe_t, rpe_r = rpe(ts_e, R_e, t_e, R_g2, t_g2, delta=1)
+        backend = "builtin"
     print(f"ATE RMSE [m]:        {ate:.6f}")
     print(f"RPE trans RMSE [m]:  {rpe_t:.6f}")
     print(f"RPE rot RMSE [deg]:  {rpe_r:.6f}")
+    print(f"(backend: {backend})")
 
     if args.plot:
         import matplotlib
