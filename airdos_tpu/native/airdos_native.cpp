@@ -75,6 +75,62 @@ PyObject* distinctive_descriptor(PyObject*, PyObject* args) {
   return PyLong_FromLong(best);
 }
 
+// distinctive_descriptors_batch(descs: uint8[M, 32], offsets: int64[K+1])
+//   -> int64[K] absolute row index of each point's winner (-1 if empty).
+// One call refreshes every map point touched by a keyframe (the per-point
+// Python->C transition was the dominant cost at ~1k points/KF).
+PyObject* distinctive_descriptors_batch(PyObject*, PyObject* args) {
+  PyArrayObject *pd = nullptr, *po = nullptr;
+  if (!PyArg_ParseTuple(args, "O!O!", &PyArray_Type, &pd, &PyArray_Type, &po))
+    return nullptr;
+  if (PyArray_TYPE(pd) != NPY_UINT8 || PyArray_NDIM(pd) != 2 ||
+      PyArray_DIM(pd, 1) != 32 || PyArray_TYPE(po) != NPY_INT64) {
+    PyErr_SetString(PyExc_ValueError, "expected uint8[M,32], int64[K+1]");
+    return nullptr;
+  }
+  PyArrayObject* cd = (PyArrayObject*)PyArray_GETCONTIGUOUS(pd);
+  PyArrayObject* co = (PyArrayObject*)PyArray_GETCONTIGUOUS(po);
+  const uint8_t* data = (const uint8_t*)PyArray_DATA(cd);
+  const int64_t* off = (const int64_t*)PyArray_DATA(co);
+  const npy_intp K = PyArray_SIZE(co) - 1;
+  npy_intp dims[1] = {K};
+  PyArrayObject* out = (PyArrayObject*)PyArray_SimpleNew(1, dims, NPY_INT64);
+  int64_t* O = (int64_t*)PyArray_DATA(out);
+  std::vector<int> dist;
+  std::vector<int> row;
+  for (npy_intp k = 0; k < K; ++k) {
+    const int64_t lo = off[k], hi = off[k + 1];
+    const int64_t n = hi - lo;
+    if (n <= 0) {
+      O[k] = -1;
+      continue;
+    }
+    dist.assign((size_t)(n * n), 0);
+    for (int64_t i = 0; i < n; ++i)
+      for (int64_t j = i + 1; j < n; ++j) {
+        int d = hamming256(data + 32 * (lo + i), data + 32 * (lo + j));
+        dist[(size_t)(i * n + j)] = d;
+        dist[(size_t)(j * n + i)] = d;
+      }
+    int64_t best = 0;
+    int best_median = INT32_MAX;
+    row.resize((size_t)n);
+    for (int64_t i = 0; i < n; ++i) {
+      std::copy(dist.begin() + i * n, dist.begin() + (i + 1) * n, row.begin());
+      std::nth_element(row.begin(), row.begin() + (n - 1) / 2, row.end());
+      int med = row[(size_t)((n - 1) / 2)];  // reference: vDists[0.5*(N-1)]
+      if (med < best_median) {
+        best_median = med;
+        best = i;
+      }
+    }
+    O[k] = lo + best;
+  }
+  Py_DECREF(cd);
+  Py_DECREF(co);
+  return (PyObject*)out;
+}
+
 // covisibility_counts(point_kf_lists: list[ndarray int64], self_id: int)
 //   -> dict {kf_id: count}
 // Each ndarray holds the KF ids observing one of the query KF's points.
@@ -137,6 +193,10 @@ PyObject* hamming_matrix_u8(PyObject*, PyObject* args) {
 PyMethodDef methods[] = {
     {"distinctive_descriptor", distinctive_descriptor, METH_VARARGS,
      "min-median-Hamming descriptor index over uint8[N,32]"},
+    {"distinctive_descriptors_batch", distinctive_descriptors_batch,
+     METH_VARARGS,
+     "batched min-median-Hamming: uint8[M,32] + int64[K+1] offsets -> "
+     "int64[K] absolute winner rows"},
     {"covisibility_counts", covisibility_counts, METH_VARARGS,
      "count shared-KF observations from per-point KF-id arrays"},
     {"hamming_matrix_u8", hamming_matrix_u8, METH_VARARGS,

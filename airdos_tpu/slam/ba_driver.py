@@ -315,17 +315,24 @@ class Triangulator:
             X = X_b[b]
             f1 = np.nonzero(valid & (kf.mp_idx < 0))[0]
             used2 = set()
+            new_f1, new_f2 = [], []
             for fid in f1:
                 f2 = int(idx2[fid])
                 if f2 in used2 or nkf.mp_idx[f2] >= 0 or kf.mp_idx[fid] >= 0:
                     continue
                 used2.add(f2)
-                pid = int(m.create_points(kf, np.asarray([fid]), X[fid][None])[0])
-                m.add_observation(pid, nkf, f2)
-                m.update_point_descriptor(pid)
-                created_pids.append(pid)
-                self.local_mapper.recent_points.append(pid)
-                created_total += 1
+                new_f1.append(int(fid))
+                new_f2.append(f2)
+            if not new_f1:
+                continue
+            fids = np.asarray(new_f1)
+            pids = m.create_points(kf, fids, X[fids])   # one batched alloc
+            for pid, f2 in zip(pids, new_f2):
+                m.add_observation(int(pid), nkf, f2)
+            created_pids.extend(int(p) for p in pids)
+            self.local_mapper.recent_points.extend(int(p) for p in pids)
+            created_total += len(new_f1)
+        m.update_point_descriptors(created_pids)
         m.update_points_normal_depth(created_pids)
         return created_total
 
@@ -390,10 +397,8 @@ class Fuser:
                         self.log_scale, self.n_levels)
         feat_idx = np.asarray(res.feat_idx)
         touched = []
-        for i in range(n):
+        for i in np.nonzero(feat_idx[:n] >= 0)[0]:
             fid = int(feat_idx[i])
-            if fid < 0:
-                continue
             pid = int(ids[i])
             if pt.bad[pid]:
                 continue
@@ -411,8 +416,8 @@ class Fuser:
                     touched.append(existing)
             else:
                 m.add_observation(pid, target, fid)
-                m.update_point_descriptor(pid)
                 touched.append(pid)
+        m.update_point_descriptors(touched)
         m.update_points_normal_depth(touched)
 
     def _fuse_into_batch(self, point_ids: List[int], targets: List[KeyFrame]):
@@ -468,10 +473,8 @@ class Fuser:
         touched = []
         for b, target in enumerate(targets):
             feat_idx = feat_idx_b[b]
-            for i in range(n):
+            for i in np.nonzero(feat_idx[:n] >= 0)[0]:
                 fid = int(feat_idx[i])
-                if fid < 0:
-                    continue
                 pid = int(ids[i])
                 if pt.bad[pid] or target.id in pt.obs[pid]:
                     continue
@@ -485,8 +488,8 @@ class Fuser:
                         touched.append(pid)
                 else:
                     m.add_observation(pid, target, fid)
-                    m.update_point_descriptor(pid)
                     touched.append(pid)
+        m.update_point_descriptors(touched)
         m.update_points_normal_depth(touched)
 
     def __call__(self, kf: KeyFrame, n_neighbors: int = 10):
@@ -506,21 +509,18 @@ class Fuser:
         # direction 1: current KF's points into every neighbor (one dispatch)
         kf_points = [int(p) for p in kf.mp_idx[kf.mp_idx >= 0]]
         self._fuse_into_batch(kf_points, targets)
-        # direction 2: neighbors' points into the current KF
-        fuse_cand: List[int] = []
-        seen = set()
-        for tkf in targets:
-            for p in tkf.mp_idx[tkf.mp_idx >= 0]:
-                p = int(p)
-                if p not in seen:
-                    seen.add(p)
-                    fuse_cand.append(p)
+        # direction 2: neighbors' points into the current KF (vectorized
+        # dedup over the feature->point tables)
+        if targets:
+            allp = np.concatenate([t.mp_idx for t in targets])
+            fuse_cand = [int(p) for p in np.unique(allp[allp >= 0])]
+        else:
+            fuse_cand = []
         self._fuse_into(fuse_cand, kf)
         # refresh (batched: this touches every point of the KF)
         kf_pids = [int(p) for p in kf.mp_idx[kf.mp_idx >= 0]
                    if not m.points.bad[int(p)]]
-        for pid in kf_pids:
-            m.update_point_descriptor(pid)
+        m.update_point_descriptors(kf_pids)
         m.update_points_normal_depth(kf_pids)
         m.update_connections(kf)
 

@@ -199,7 +199,10 @@ class SlamMap:
         self.max_kf_id = max(self.max_kf_id, kf.id)
 
     def n_keyframes(self) -> int:
-        return len(self.kfs)
+        """Live keyframe count (reference Map::KeyFramesInMap counts
+        mspKeyFrames, which KeyFrame::SetBadFlag erases from; culled KFs
+        stay in self.kfs only for trajectory reconstruction via Tcp)."""
+        return sum(1 for k in self.kfs.values() if not k.bad)
 
     def n_points(self) -> int:
         return int((~self.points.bad[:self.points.n]).sum())
@@ -315,6 +318,37 @@ class SlamMap:
         dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
         med = np.sort(dist, axis=1)[:, (len(D) - 1) // 2]
         pt.desc32[pid] = D[int(np.argmin(med))]
+
+    def update_point_descriptors(self, pids):
+        """Batched ComputeDistinctiveDescriptors over many points: gather
+        every point's observation descriptors into one array and run ONE
+        native min-median-Hamming call (a keyframe touches ~1k points; the
+        per-point Python->C transitions dominated the per-call path)."""
+        if _native is None or not hasattr(_native,
+                                          "distinctive_descriptors_batch"):
+            for p in pids:
+                self.update_point_descriptor(p)
+            return
+        pt = self.points
+        blocks, offsets, keep = [], [0], []
+        total = 0
+        for p in pids:
+            n0 = total
+            for kf_id, fid in pt.obs[p].items():
+                kf = self.kfs.get(kf_id)
+                if kf is not None and not kf.bad:
+                    blocks.append(kf.desc32[fid])
+                    total += 1
+            if total > n0:
+                keep.append(p)
+                offsets.append(total)
+        if not keep:
+            return
+        D = np.asarray(blocks)
+        idx = _native.distinctive_descriptors_batch(
+            np.ascontiguousarray(D.view(np.uint8).reshape(len(D), 32)),
+            np.asarray(offsets, np.int64))
+        pt.desc32[keep] = D[idx]
 
     def update_points_normal_depth(self, pids):
         """Batched UpdateNormalAndDepth over many points: one pass collects

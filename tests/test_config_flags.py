@@ -29,6 +29,64 @@ def _human_world(cfg):
                                 n_humans=1)
 
 
+def test_reference_exact_preset():
+    """SlamConfig.reference_exact(): every reasoned deviation switched
+    back to the reference's behavior (raw velocity extrapolation,
+    Tracking.cc:466-469; thRefRatio schedule, Tracking.cc:1091), without
+    mutating the original config."""
+    cfg = small_config()
+    ref = cfg.reference_exact()
+    assert ref.optimizer.velocity_damping == 1.0
+    assert ref.optimizer.kf_ref_schedule == "reference"
+    assert cfg.optimizer.velocity_damping == 0.7
+    assert cfg.optimizer.kf_ref_schedule == "stereo_sharp"
+    # unrelated fields survive the copy
+    assert ref.camera.fx == cfg.camera.fx
+    assert ref.orb.n_features == cfg.orb.n_features
+
+
+def test_public_reset_restarts_tracking():
+    """System.reset() (reference System::Reset handshake, System.cc:308-311
+    -> Tracking::Reset, Tracking.cc:1656-1705): the map empties, tracking
+    reinitializes on the next frame, and the system keeps working."""
+    cfg = small_config()
+    world = SyntheticStereoWorld(seed=0, n_points=200, cam=cfg.camera)
+    frames = [(d, R, t) for d, R, t in world.sequence(10, dt=0.1,
+                                                      yaw_rate=0.008)]
+    slam = System(cfg)
+    for d, _, _ in frames[:6]:
+        slam.track_stereo(d)
+    assert slam.map.n_keyframes() >= 1
+    slam.reset()
+    assert slam.map.n_keyframes() == 0
+    assert slam.tracking.state.name == "NOT_INITIALIZED"
+    assert slam.tracking.records == []
+    for d, _, _ in frames[6:]:
+        slam.track_stereo(d)
+    assert slam.tracking.state.name == "OK"
+    assert slam.map.n_keyframes() >= 1
+    slam.shutdown()
+
+
+def test_camera_rgb_color_conversion():
+    """Camera.RGB channel-order handling (reference Tracking.cc:247-272):
+    3-channel input is converted with the right weights for RGB vs BGR."""
+    cfg = small_config()
+    slam = System(cfg)
+    img = np.zeros((4, 4, 3), np.float32)
+    img[..., 0] = 100.0           # channel 0 dominant
+    cfg.camera.rgb = 1            # RGB: channel 0 is red (w=0.299)
+    g_rgb = slam._to_gray(img)
+    cfg.camera.rgb = 0            # BGR: channel 0 is blue (w=0.114)
+    g_bgr = slam._to_gray(img)
+    assert abs(float(g_rgb[0, 0]) - 29.9) < 1e-3
+    assert abs(float(g_bgr[0, 0]) - 11.4) < 1e-3
+    # grayscale passes through untouched
+    g2 = slam._to_gray(np.full((4, 4), 7.0, np.float32))
+    assert (g2 == 7.0).all()
+    slam.shutdown()
+
+
 @pytest.mark.slow
 def test_keyframe_only_limits_human_poses():
     """IsKeyFrameOnly=1: human poses enter only on keyframes (reference

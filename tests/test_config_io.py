@@ -112,3 +112,33 @@ def test_rpe_known_perturbation(rng):
         acc = acc @ dR
     t_err, r_err = rpe(ts, est_R, gt_t, gt_R, gt_t, delta=1)
     assert abs(r_err - 1.0) < 1e-6, r_err
+
+
+def test_builtin_metrics_agree_with_evo(tmp_path, rng):
+    """When evo is importable, tools/evaluate.evo_metrics and the builtin
+    ATE/RPE must agree on the same trajectory pair (the north-star
+    acceptance is evo-compatibility; skipped where evo is absent)."""
+    pytest.importorskip("evo")
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from evaluate import evo_metrics
+    from scipy.spatial.transform import Rotation as R
+
+    n = 40
+    ts = np.arange(n) * 0.5
+    gt_R = R.from_rotvec(rng.normal(0, 0.05, (n, 3))).as_matrix()
+    gt_t = np.cumsum(rng.normal(0, 0.1, (n, 3)), axis=0)
+    est_t = gt_t + rng.normal(0, 0.01, (n, 3))
+    p_gt = tmp_path / "gt.txt"
+    p_est = tmp_path / "est.txt"
+    write_trajectory_tum(p_gt, ts, gt_R, gt_t)
+    write_trajectory_tum(p_est, ts, gt_R, est_t)
+
+    ate_evo, rpe_t_evo, rpe_r_evo = evo_metrics(str(p_est), str(p_gt))
+    ts_e, R_e, t_e = read_trajectory_tum(p_est)
+    ts_g, R_g, t_g = read_trajectory_tum(p_gt)
+    ate_b = ate_rmse(t_e, t_g)
+    rpe_t_b, rpe_r_b = rpe(ts_e, R_e, t_e, R_g, t_g, delta=1)
+    assert abs(ate_evo - ate_b) < 0.1 * max(ate_b, 1e-6)
+    assert abs(rpe_t_evo - rpe_t_b) < 0.1 * max(rpe_t_b, 1e-6)
