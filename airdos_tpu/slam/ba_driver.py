@@ -627,13 +627,13 @@ class HumanLocalBA:
                 # Fast variant: the ENTIRE trajectory enters the graph
                 # (Optimizer::LocalBundleAdjustmentHumanTrajactoryFast,
                 # Optimizer.cc:736-1493), capped only by the padded window
-                sel = list(range(len(traj.poses)))[-self.L:]
+                win = list(range(len(traj.poses)))[-self.L:]
             else:
                 # windowed variant: last L poses whose ref KF is in the
                 # window (Optimizer.cc:1496-2224)
-                sel = [i for i, hp in enumerate(traj.poses)
+                win = [i for i, hp in enumerate(traj.poses)
                        if hp.kf_id in window_ids][-self.L:]
-            windows.append(sel)
+            windows.append(win)
 
         C, P, E = self._cb.fit(len(cam_ids)), self.P, self.E
         T = self._tb.fit(len(trajs))
@@ -674,8 +674,8 @@ class HumanLocalBA:
         pose_windows = windows   # per t: pose indices into traj.poses
 
         for t, traj in enumerate(trajs):
-            sel = pose_windows[t]
-            if len(sel) < 2:
+            win = pose_windows[t]
+            if len(win) < 2:
                 continue
             traj_valid[t] = True
             mot_R[t] = traj.motion_R
@@ -683,7 +683,7 @@ class HumanLocalBA:
             seg_len[t] = traj.segment_len
             # bad&unoptimized segments stay fixed (Optimizer.cc:1744-1760)
             seg_free[t] = ~(traj.segment_bad & ~traj.segment_optimized)
-            for li, pi in enumerate(sel):
+            for li, pi in enumerate(win):
                 hp = traj.poses[pi]
                 joints[t, li] = hp.joints_w[:N_PARTS]
                 joint_exists[t, li] = True
@@ -695,8 +695,8 @@ class HumanLocalBA:
                     jo_obs[t, li, :, 2] = hp.obs_uvd[:N_PARTS, 2]
                     jo_valid[t, li] = ~hp.bad[:N_PARTS]
                 seg_edge_valid[t, li] = True
-                if li + 1 < len(sel):
-                    dt = traj.poses[sel[li + 1]].timestamp - hp.timestamp
+                if li + 1 < len(win):
+                    dt = traj.poses[win[li + 1]].timestamp - hp.timestamp
                     pose_dt[t, li] = max(dt, 1e-3)
                     motion_edge_valid[t, li] = True
 
@@ -747,11 +747,12 @@ class HumanLocalBA:
         rig_bad = seg_edge_valid & ~rig_in       # [T, L, S]
         rig_ok = seg_edge_valid & rig_in
         proj_bad = jo_valid & ~key_in
-        mot_bad = motion_edge_valid & ~mot_in    # [T, L, 5]
+        # motion edges connect pose l -> l+1, so the solver reports L-1 rows
+        mot_bad = motion_edge_valid[:, :mot_in.shape[1]] & ~mot_in  # [T,L-1,5]
         for t, traj in enumerate(trajs):
             if not traj_valid[t]:
                 continue
-            sel = pose_windows[t]
+            win = pose_windows[t]
             traj.motion_R = motR_o[t]
             traj.motion_t = mott_o[t]
             traj.segment_len = seg_o[t]
@@ -759,9 +760,9 @@ class HumanLocalBA:
             self.map.optimized_track_ids.add(traj.track_id)
             # rigidity outliers: segment bIsBad whenever any window pose
             # broke it, bOptimized whenever any window pose passed
-            traj.segment_bad |= rig_bad[t, :len(sel)].any(axis=0)
-            traj.segment_optimized |= rig_ok[t, :len(sel)].any(axis=0)
-            for li, pi in enumerate(sel):
+            traj.segment_bad |= rig_bad[t, :len(win)].any(axis=0)
+            traj.segment_optimized |= rig_ok[t, :len(win)].any(axis=0)
+            for li, pi in enumerate(win):
                 hp = traj.poses[pi]
                 hp.joints_w[:N_PARTS] = joints_o[t, li]
                 hp.optimized[:N_PARTS] = True
@@ -774,9 +775,10 @@ class HumanLocalBA:
                 # projection outliers -> bIsBad
                 hp.bad[:N_PARTS] |= proj_bad[t, li]
                 # motion outliers -> bIsLost on the FIRST pose's joint
-                mb = mot_bad[t, li]
-                hp.lost[torso[mb]] = True
-                traj.bad_count += int(mb.sum())
+                if li < mot_bad.shape[1]:
+                    mb = mot_bad[t, li]
+                    hp.lost[torso[mb]] = True
+                    traj.bad_count += int(mb.sum())
 
 
 class GlobalBA:

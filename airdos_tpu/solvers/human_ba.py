@@ -53,7 +53,7 @@ class HumanBAResult(NamedTuple):
     static_inlier: jnp.ndarray   # [Es]
     key_inlier: jnp.ndarray      # [T, L, 14] projection-edge inlier
     rigid_inlier: jnp.ndarray    # [T, L, 14] per-pose segment inlier
-    motion_inlier: jnp.ndarray   # [T, L, 5]  (pose l -> l+1)
+    motion_inlier: jnp.ndarray   # [T, L-1, 5]  (pose l -> l+1)
 
 
 def _proj_rj(Rc, tc, xw, obs, fx, fy, cx, cy, bf, is_stereo):

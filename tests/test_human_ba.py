@@ -225,3 +225,105 @@ def test_window_trajectory_selection_prefers_current_tracks():
     # window that sees only stale tracks still returns them
     got2 = select_window_trajectories(trajectories, {4, 5}, 8)
     assert len(got2) == 6
+
+
+def test_human_local_ba_driver_end_to_end():
+    """HumanLocalBA.__call__ on a hand-built map: exercises the slot-table
+    edge assembly, trajectory windowing, device solve, and write-back in
+    the FAST tier (the image-level pipeline tests that also reach this
+    code are slow-marked, which once let an assembly-path regression
+    through the dev loop).  Reference protocol:
+    Optimizer::LocalBundleAdjustmentHumanTrajactory (Optimizer.cc:1496)."""
+    import types
+    from airdos_tpu.config import SlamConfig
+    from airdos_tpu.io.synthetic import small_camera
+    from airdos_tpu.slam.ba_driver import HumanLocalBA
+    from airdos_tpu.slam.map import HumanPose, HumanTrajectory, KeyFrame, SlamMap
+
+    rng = np.random.default_rng(7)
+    cfg = SlamConfig()
+    cfg.camera = small_camera()
+    cfg.device.max_local_points = 256
+    cfg.device.max_ba_edges = 1024
+    cfg.device.max_trajectories = 2
+    cfg.device.max_trajectory_len = 8
+    cam = cfg.camera
+    fx, fy, cx, cy, bf = cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+
+    P = 60
+    pts = np.stack([rng.uniform(-3, 3, P), rng.uniform(-2, 2, P),
+                    rng.uniform(4, 12, P)], axis=1).astype(np.float32)
+
+    def make_kf(m, kf_id, tcw, t):
+        xc = pts + tcw[None, :]
+        z = xc[:, 2]
+        u = fx * xc[:, 0] / z + cx
+        v = fy * xc[:, 1] / z + cy
+        f = types.SimpleNamespace(
+            index=kf_id, timestamp=t,
+            Rcw=np.eye(3, dtype=np.float32),
+            tcw=np.asarray(tcw, np.float32),
+            xy=np.stack([u, v], 1).astype(np.float32),
+            xy_un=np.stack([u, v], 1).astype(np.float32),
+            octave=np.zeros(P, np.int32),
+            angle=np.zeros(P, np.float32),
+            response=np.ones(P, np.float32),
+            desc32=rng.integers(0, 2 ** 32, (P, 8), dtype=np.uint32),
+            u_right=(u - bf / z).astype(np.float32),
+            depth=z.astype(np.float32),
+            valid=np.ones(P, bool),
+            mp_idx=np.full(P, -1, np.int32))
+        kf = KeyFrame(kf_id, f)
+        m.add_keyframe(kf)
+        return kf
+
+    m = SlamMap()
+    kf0 = make_kf(m, 0, np.zeros(3, np.float32), 0.0)
+    kf1 = make_kf(m, 1, np.array([0.1, 0.0, -0.2], np.float32), 0.5)
+    pids = m.create_points(kf0, np.arange(P), pts)
+    for fid in range(P):
+        m.add_observation(int(pids[fid]), kf1, fid)
+    kf0.ordered_covis = [1]
+    kf1.ordered_covis = [0]
+    kf0.covis = {1: P}
+    kf1.covis = {0: P}
+
+    # a walking human observed from both KFs (5 poses > TH_LONG_TRAJECTORY)
+    base = np.array([0.5, 0.0, 6.0], np.float32)
+    vel = np.array([0.3, 0.0, 0.0], np.float32)
+    traj = HumanTrajectory(track_id=0)
+    for i in range(5):
+        t = 0.25 * i
+        j = np.zeros((18, 3), np.float32)
+        j[:14] = SKEL + base + vel * t
+        kf = kf0 if t < 0.5 else kf1
+        xc = j[:14] + kf.tcw[None, :]
+        z = xc[:, 2]
+        u = fx * xc[:, 0] / z + cx
+        v = fy * xc[:, 1] / z + cy
+        obs = np.full((18, 4), -1.0, np.float32)
+        obs[:14, 0] = u + rng.normal(0, 0.3, 14)
+        obs[:14, 1] = v + rng.normal(0, 0.3, 14)
+        obs[:14, 2] = u - bf / z + rng.normal(0, 0.3, 14)
+        jw = j.copy()
+        jw[:14] += rng.normal(0, 0.03, (14, 3)).astype(np.float32)
+        traj.add_pose(HumanPose(
+            track_id=0, timestamp=t, kf_id=kf.id, joints_w=jw,
+            bad=np.zeros(18, bool), lost=np.zeros(18, bool),
+            optimized=np.zeros(18, bool), obs_uvd=obs))
+    m.trajectories[0] = traj
+
+    class _Ext:
+        sigma2 = np.asarray([1.2 ** (2 * i) for i in range(8)], np.float32)
+
+    drv = HumanLocalBA(cfg, m, _Ext())
+    drv(m, 1)
+
+    assert traj.optimized
+    assert traj.poses[0].optimized[:14].all()
+    assert np.isfinite(traj.motion_t).all()
+    # recovered walking velocity (x is well constrained; depth axis sits at
+    # the stereo noise floor, see test_human_ba_recovers_joints_and_segments)
+    assert abs(traj.motion_t[0] - vel[0]) < 0.15, traj.motion_t
+    # the free KF pose stayed finite and close to its (already correct) init
+    assert np.linalg.norm(m.kfs[1].tcw - np.array([0.1, 0, -0.2])) < 0.05
