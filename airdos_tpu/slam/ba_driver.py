@@ -351,10 +351,15 @@ class Fuser:
         self.n_levels = config.orb.n_levels
         self.P = config.device.max_local_points
         self._jit = jax.jit(fuse_candidates, static_argnames=("n_levels",))
-        # direction-1 batched over target keyframes: ONE dispatch
+        # BOTH fuse directions in one dispatch: vmap over target keyframes
+        # with a shared union candidate table and a PER-TARGET valid mask
+        # (direction-1 rows see the current KF's points, the direction-2
+        # row sees the neighbors' points) — each extra dispatch costs a
+        # full ~35 ms tunnel round trip
         self._jit_batch = jax.jit(
             jax.vmap(fuse_candidates,
-                     in_axes=(None,) * 6 + (0,) * 8 + (None,) * 12))
+                     in_axes=(None, None, 0, None, None, None)
+                     + (0,) * 8 + (None,) * 12))
         self.max_targets = 8
         self._pb = _StickyBucket(1024, self.P)
 
@@ -420,38 +425,54 @@ class Fuser:
         m.update_point_descriptors(touched)
         m.update_points_normal_depth(touched)
 
-    def _fuse_into_batch(self, point_ids: List[int], targets: List[KeyFrame]):
-        """Fuse one candidate set into several target KFs — one dispatch."""
+    def _fuse_neighborhood(self, kf: KeyFrame, targets: List[KeyFrame]):
+        """Both SearchInNeighbors directions (reference LocalMapping.cc:
+        SearchInNeighbors) in ONE device dispatch: the union of the current
+        KF's points and the neighbors' points forms a shared candidate
+        table; direction-1 rows (fuse kf's points into each neighbor) and
+        the direction-2 row (fuse neighbors' points into kf) select their
+        candidates through per-row valid masks."""
         m = self.map
         pt = m.points
-        point_ids = [p for p in point_ids if not pt.bad[p]][: self.P]
-        if not point_ids or not targets:
+        kfp = kf.mp_idx[kf.mp_idx >= 0]
+        kf_points = np.unique(kfp)
+        if targets:
+            allp = np.concatenate([t.mp_idx for t in targets])
+            nb_points = np.unique(allp[allp >= 0])
+        else:
+            nb_points = np.empty(0, kf_points.dtype)
+        union = np.union1d(kf_points, nb_points)
+        union = union[~pt.bad[union]][: self.P]
+        if union.size == 0 or not targets:
             return
-        n = len(point_ids)
+        n = len(union)
         P = self._pb.fit(n)
-        ids = np.asarray(point_ids)
+        ids = union
         xw = np.zeros((P, 3), np.float32)
         desc = np.zeros((P, 8), np.uint32)
         normal = np.zeros((P, 3), np.float32)
         mind = np.zeros(P, np.float32)
         maxd = np.zeros(P, np.float32)
-        valid = np.zeros(P, bool)
         xw[:n] = pt.pos[ids]
         desc[:n] = pt.desc32[ids]
         normal[:n] = pt.normal[ids]
         mind[:n] = pt.min_dist[ids]
         maxd[:n] = pt.max_dist[ids]
-        valid[:n] = True
 
         # pad the target batch to a FIXED size so the vmapped program
-        # compiles once (a per-target-count variant caused a recompile
-        # nearly every keyframe); padded slots get valid=False features
+        # compiles once; row B is the current KF (direction 2); padded
+        # rows get valid=False candidates AND features
         B = self.max_targets
         n_t = len(targets)
-        pad = targets + [targets[0]] * (B - n_t)
+        rows_kf = targets + [targets[0]] * (B - n_t) + [kf]
+        in_kf = np.isin(union, kf_points, assume_unique=True)
+        in_nb = np.isin(union, nb_points, assume_unique=True)
+        valid = np.zeros((B + 1, P), bool)
+        valid[:n_t, :n] = in_kf[None, :]
+        valid[B, :n] = in_nb
 
         def stack(fn, zero_pad=False):
-            rows = [fn(t) for t in pad]
+            rows = [fn(t) for t in rows_kf]
             if zero_pad:
                 for b in range(n_t, B):
                     rows[b] = np.zeros_like(rows[b])
@@ -471,7 +492,7 @@ class Fuser:
             self.log_scale, self.n_levels, 3.0)
         feat_idx_b = np.asarray(res.feat_idx)
         touched = []
-        for b, target in enumerate(targets):
+        for b, target in list(enumerate(targets)) + [(B, kf)]:
             feat_idx = feat_idx_b[b]
             for i in np.nonzero(feat_idx[:n] >= 0)[0]:
                 fid = int(feat_idx[i])
@@ -506,17 +527,9 @@ class Fuser:
                         n2 not in targets:
                     targets.append(n2)
         targets = targets[: self.max_targets]
-        # direction 1: current KF's points into every neighbor (one dispatch)
-        kf_points = [int(p) for p in kf.mp_idx[kf.mp_idx >= 0]]
-        self._fuse_into_batch(kf_points, targets)
-        # direction 2: neighbors' points into the current KF (vectorized
-        # dedup over the feature->point tables)
-        if targets:
-            allp = np.concatenate([t.mp_idx for t in targets])
-            fuse_cand = [int(p) for p in np.unique(allp[allp >= 0])]
-        else:
-            fuse_cand = []
-        self._fuse_into(fuse_cand, kf)
+        # both directions (kf's points into neighbors + neighbors' points
+        # into kf) in one dispatch
+        self._fuse_neighborhood(kf, targets)
         # refresh (batched: this touches every point of the KF)
         kf_pids = [int(p) for p in kf.mp_idx[kf.mp_idx >= 0]
                    if not m.points.bad[int(p)]]
@@ -721,6 +734,9 @@ class HumanLocalBA:
             opt.is_huber)
 
         # ---- write-back ----------------------------------------------
+        # ONE batched pytree download: serial np.asarray(res.field) pays a
+        # full ~30 ms tunnel round trip PER FIELD (11 fields = ~300 ms)
+        res = jax.device_get(res)
         camR_o = np.asarray(res.cam_R)
         camt_o = np.asarray(res.cam_t)
         for kid, i in cam_index.items():
@@ -985,9 +1001,8 @@ class GlobalBA:
         pt = m.points
         cam_index = problem["cam_index"]
         point_ids = problem["point_ids"]
-        R_out = np.asarray(res.R)
-        t_out = np.asarray(res.t)
-        pts_out = np.asarray(res.points)
+        # one batched download (~30 ms/leaf through the tunnel otherwise)
+        R_out, t_out, pts_out = jax.device_get((res.R, res.t, res.points))
         R0 = problem["cam_R0"]
         t0 = problem["cam_t0"]
 

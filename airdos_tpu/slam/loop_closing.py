@@ -138,13 +138,14 @@ class LoopCloser:
                           jnp.ones(n, bool), jnp.asarray(samples),
                           jnp.asarray(9.21 * s1), jnp.asarray(9.21 * s2),
                           self.fx, self.fy, self.cx, self.cy, fix_scale=True)
-        if int(res.n_inliers) < 12:
+        n_inl, Rr, tr, sr = jax.device_get(
+            (res.n_inliers, res.R, res.t, res.s))
+        if int(n_inl) < 12:
             return None
 
         # --- SearchBySim3: grow matches through the RANSAC Sim3 ----------
         # (reference ORBmatcher::SearchBySim3, ORBmatcher.cc:1102-1326)
-        grown = self._search_by_sim3(kf, ckf, np.asarray(res.R),
-                                     np.asarray(res.t), float(res.s),
+        grown = self._search_by_sim3(kf, ckf, Rr, tr, float(sr),
                                      {p[0] for p in pairs},
                                      {p[3] for p in pairs})
         pairs = pairs + grown

@@ -659,11 +659,12 @@ class Tracking:
                       jnp.ones(n, bool), jnp.asarray(max_err2),
                       jnp.asarray(samples),
                       self.fx, self.fy, self.cx, self.cy)
-            if int(res.n_inliers) < 10:
+            n_inl, R, t, inl = jax.device_get(
+                (res.n_inliers, res.R, res.t, res.inliers))
+            if int(n_inl) < 10:
                 continue
             frame.mp_idx[:] = -1
-            frame.set_pose(np.asarray(res.R), np.asarray(res.t))
-            inl = np.asarray(res.inliers)
+            frame.set_pose(R, t)
             for (pid, fid), keep in zip(rows, inl):
                 if keep:
                     frame.mp_idx[fid] = pid
@@ -749,8 +750,8 @@ class Tracking:
             jnp.asarray(xw), jnp.asarray(obs),
             jnp.asarray(self.inv_sigma2[frame.octave]), jnp.asarray(valid),
             self.fx, self.fy, self.cx, self.cy, self.bf)
-        frame.set_pose(np.asarray(res.R), np.asarray(res.t))
-        inlier = np.asarray(res.inlier)
+        R, t, inlier = jax.device_get((res.R, res.t, res.inlier))
+        frame.set_pose(R, t)
         frame.mp_idx[valid & ~inlier] = -1
         return int(inlier.sum())
 
