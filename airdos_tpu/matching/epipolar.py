@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from airdos_tpu.ops.hamming import hamming_matrix
+from airdos_tpu.ops.pallas_kernels import hamming_matrix_auto as hamming_matrix
 
 TH_LOW = 50
 BIG = 1 << 10

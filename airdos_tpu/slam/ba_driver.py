@@ -140,10 +140,18 @@ class _StickyBucket:
         return min(self.cur, self.hi)
 
 class StaticLocalBA:
-    def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor):
+    def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor,
+                 map_lock=None):
         self.config = config
         self.map = slam_map
         self.profiler = None
+        # tracking<->mapping guard: held for graph assembly and write-back,
+        # RELEASED during the device solve so the tracking thread is never
+        # blocked by an in-flight optimization (reference
+        # LocalBundleAdjustment locks the map only around its recovery
+        # phase, Optimizer.cc:657-659).  None (tests, offline single
+        # thread) degrades to a no-op context.
+        self.map_lock = map_lock
         cam = config.camera
         self.fx, self.fy, self.cx, self.cy, self.bf = \
             cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
@@ -164,6 +172,18 @@ class StaticLocalBA:
             self._jit = jax.jit(local_bundle_adjust)
 
     def __call__(self, kf: KeyFrame):
+        import contextlib
+        lock = self.map_lock if self.map_lock is not None \
+            else contextlib.nullcontext()
+        with lock:
+            problem = self._assemble(kf)
+        if problem is None:
+            return
+        res = self._solve(problem)
+        with lock:
+            self._write_back(problem, res)
+
+    def _assemble(self, kf: KeyFrame):
         m = self.map
         pt = m.points
         local_ids = [kf.id] + [k for k in kf.ordered_covis
@@ -206,6 +226,16 @@ class StaticLocalBA:
         e_cam, e_pt, e_obs, e_info, e_valid, n_e = pad_edge_table(
             ec, ep, eo, ei, E)
 
+        return dict(local_ids=local_ids, local_set=local_set,
+                    cam_index=cam_index, cam_fixed=cam_fixed,
+                    cam_t=cam_t, n_cam=n_cam, point_ids=point_ids,
+                    n_e=n_e, ref_p=ref_p, ref_kf=ref_kf,
+                    arrays=(cam_R, cam_t, cam_fixed, pts, pvalid,
+                            e_cam, e_pt, e_obs, e_info, e_valid))
+
+    def _solve(self, problem):
+        (cam_R, cam_t, cam_fixed, pts, pvalid,
+         e_cam, e_pt, e_obs, e_info, e_valid) = problem["arrays"]
         with span(self.profiler, "ba.solve"):
             res = self._jit(jnp.asarray(cam_R), jnp.asarray(cam_t),
                             jnp.asarray(cam_fixed),
@@ -214,11 +244,22 @@ class StaticLocalBA:
                             jnp.asarray(e_obs), jnp.asarray(e_info),
                             jnp.asarray(e_valid),
                             self.fx, self.fy, self.cx, self.cy, self.bf)
-            R_out, t_out, pts_out, inlier = jax.device_get(
+            return jax.device_get(
                 (res.R, res.t, res.points, res.edge_inlier))
+
+    def _write_back(self, problem, res):
+        m = self.map
+        pt = m.points
+        R_out, t_out, pts_out, inlier = res
+        cam_index = problem["cam_index"]
+        cam_fixed = problem["cam_fixed"]
+        point_ids = problem["point_ids"]
+        n_e = problem["n_e"]
+        ref_p, ref_kf = problem["ref_p"], problem["ref_kf"]
 
         import os
         if os.environ.get("AIRDOS_BA_DEBUG") == "1":
+            local_ids, local_set = problem["local_ids"], problem["local_set"]
             demoted = np.nonzero(~inlier[:n_e])[0]
             newest = max(local_ids)
             old_pt = {int(p) for p in point_ids
@@ -226,17 +267,20 @@ class StaticLocalBA:
             n_dem_old = int(sum(1 for i in demoted
                                 if int(ref_p[i]) in old_pt
                                 and int(ref_kf[i]) in local_set))
-            dpose = max(float(np.linalg.norm(t_out[i] - cam_t[i]))
+            dpose = max(float(np.linalg.norm(t_out[i] - problem["cam_t"][i]))
                         for kid, i in cam_index.items() if not cam_fixed[i])
-            print(f"[BA kf={kf.id}] cams={n_cam} pts={len(point_ids)} "
-                  f"edges={n_e} demoted={len(demoted)} "
+            print(f"[BA kf={local_ids[0]}] cams={problem['n_cam']} "
+                  f"pts={len(point_ids)} edges={n_e} demoted={len(demoted)} "
                   f"demoted_old_edges={n_dem_old} max_dpose={dpose:.4f}",
                   flush=True)
 
         with span(self.profiler, "ba.writeback"):
             for kid, i in cam_index.items():
-                if not cam_fixed[i]:
-                    m.kfs[kid].set_pose(R_out[i], t_out[i])
+                # a KF culled while the solve was in flight stays where
+                # the culler left it (reference: pKF->isBad() recheck)
+                k = m.kfs.get(kid)
+                if k is not None and not k.bad and not cam_fixed[i]:
+                    k.set_pose(R_out[i], t_out[i])
             pt.pos[point_ids] = pts_out[:len(point_ids)]
             # erase outlier observations (usually a handful)
             for i in np.nonzero(~inlier[:n_e])[0]:

@@ -38,7 +38,8 @@ class System:
         from airdos_tpu.slam.ba_driver import (Fuser, GlobalBA, HumanLocalBA,
                                                StaticLocalBA, Triangulator)
         ext = self.frontend.extractor
-        self.static_ba = StaticLocalBA(config, self.map, ext)
+        self.static_ba = StaticLocalBA(config, self.map, ext,
+                                       map_lock=self.tracking.map_lock)
         self.global_ba = GlobalBA(config, self.map, ext)
         self.local_mapper.triangulator = Triangulator(config, self.map, ext,
                                                       self.local_mapper)
@@ -168,23 +169,33 @@ class System:
         in online mode (System.IsOffline=0), mirroring the reference's
         Tracking || LocalMapping threading (System.cc:87-96)."""
         from airdos_tpu.utils.obs import span
+        lm = self.local_mapper
+        # Lock granularity mirrors the reference: LocalMapping holds the
+        # map mutex per step, never across a whole keyframe's pipeline
+        # (Map::mMutexMapUpdate is taken inside each Optimizer/mapping
+        # routine), so the tracking thread's short map sections interleave
+        # between mapping stages in online mode.
         with self._map_lock:
-            lm = self.local_mapper
             with span(self.profiler, "map.cull_points"):
                 lm.cull_map_points(prev_kf.id)
             with span(self.profiler, "map.triangulate"):
                 lm.create_new_points(prev_kf)
+        with self._map_lock:
             with span(self.profiler, "map.fuse"):
                 lm.fuse_neighbors(prev_kf)
-            # The reference runs ONE local BA (static or human-trajectory,
-            # by IsStaticOnly) every mMaxFrames (Tracking.cc:705-717).  We
-            # run the static local BA per keyframe in BOTH modes — per-KF
-            # refinement is what lifts this rebuild past the reference's
-            # accuracy — and the human pipeline keeps its human-trajectory
-            # BA on the reference cadence on top.
-            if self.static_ba is not None and self.map.n_keyframes() > 2:
-                with span(self.profiler, "map.static_ba"):
-                    self.static_ba(prev_kf)
+        # The reference runs ONE local BA (static or human-trajectory,
+        # by IsStaticOnly) every mMaxFrames (Tracking.cc:705-717).  We
+        # run the static local BA per keyframe in BOTH modes — per-KF
+        # refinement is what lifts this rebuild past the reference's
+        # accuracy — and the human pipeline keeps its human-trajectory
+        # BA on the reference cadence on top.  The BA takes the lock
+        # itself for assembly and write-back and releases it during the
+        # device solve (reference LocalBundleAdjustment locks the map
+        # only for its recovery phase, Optimizer.cc:657-659).
+        if self.static_ba is not None and self.map.n_keyframes() > 2:
+            with span(self.profiler, "map.static_ba"):
+                self.static_ba(prev_kf)
+        with self._map_lock:
             with span(self.profiler, "map.cull_kfs"):
                 lm.cull_keyframes(prev_kf)
             with span(self.profiler, "map.vocab"):

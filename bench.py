@@ -6,7 +6,10 @@ Sections, one JSON line:
                          + pose optimization + keyframing/local BA) on the
                          TartanAir-Shibuya camera geometry (640x360,
                          fx 772.5, 1000 ORB features, 8 levels).  Median
-                         over BENCH_REPS independent runs.
+                         over BENCH_REPS independent runs.  Runs ONLINE
+                         (tracking || mapping threads, the reference's
+                         static architecture, System.cc:87-96); the human
+                         sections run offline (the paper configuration).
 2. tracking_fps_human  — the flagship dynamic pipeline: masked extraction,
                          human stereo association, human-trajectory BA.
 3. ate_rmse_static / ate_rmse_human — the AirDOS headline: on a crowded
@@ -85,10 +88,11 @@ def _run(cfg, frames, gts, n_warm):
         fn(frames[i])
     dt = time.perf_counter() - t0
     fps = (len(frames) - n_warm) / dt
+    # drain the mapping thread (online mode) before reading the trajectory
+    slam.shutdown()
     ts, Rwc, twc = slam.tracking.trajectory_tum()
     ate = float(ate_rmse(twc, np.asarray(gts)[: len(twc)])) if len(twc) >= 5 \
         else float("nan")
-    slam.shutdown()
     return fps, ate
 
 
@@ -209,7 +213,16 @@ def main():
     Rwc, twc = world.trajectory(n_total, 0.1, speed=0.3, yaw_rate=0.005)
     frames = [world.frame(i, Rwc[i], twc[i], i * 0.1, with_humans=False)
               for i in range(n_total)]
-    fps_static, ate_clean = _run_reps(lambda: _cfg(human=False), frames,
+
+    # The static pipeline benches ONLINE (tracking thread || mapping
+    # thread), the reference's own architecture for static stereo SLAM
+    # (System.cc:87-96 spawns LocalMapping); fps is the tracking-thread
+    # rate, exactly what stereo_human.cc:148-150 reports.
+    def cfg_static_online():
+        c = _cfg(human=False)
+        c.system.is_offline = False
+        return c
+    fps_static, ate_clean = _run_reps(cfg_static_online, frames,
                                       twc, n_warm)
 
     # --- sections 2+3: crowded dynamic scene --------------------------
