@@ -290,10 +290,14 @@ class StaticLocalBA:
 
 class Triangulator:
     def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor,
-                 local_mapper):
+                 local_mapper, map_lock=None):
         self.config = config
         self.map = slam_map
         self.local_mapper = local_mapper
+        # held for assembly + write-back, released during the device
+        # solve so the tracking thread never waits on a triangulation
+        # dispatch (same discipline as StaticLocalBA above)
+        self.map_lock = map_lock
         cam = config.camera
         self.fx, self.fy, self.cx, self.cy, self.bf = \
             cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
@@ -317,6 +321,20 @@ class Triangulator:
         return bool(np.linalg.norm(nkf.Ow - kf.Ow) >= self.bf / self.fx)
 
     def __call__(self, kf: KeyFrame, n_neighbors: int = None):
+        import contextlib
+        lock = self.map_lock if self.map_lock is not None \
+            else contextlib.nullcontext()
+        with lock:
+            problem = self._assemble(kf, n_neighbors)
+        if problem is None:
+            return 0
+        neighbors, args = problem
+        res = self._jit(*args)
+        got = jax.device_get((res.valid, res.idx2, res.points))
+        with lock:
+            return self._write_back(kf, neighbors, got)
+
+    def _assemble(self, kf: KeyFrame, n_neighbors: int = None):
         m = self.map
         K = n_neighbors or self.n_neighbors
         neighbors = []
@@ -330,7 +348,7 @@ class Triangulator:
             if len(neighbors) == K:
                 break
         if not neighbors:
-            return 0
+            return None
         # pad the batch by repeating the first neighbor (results discarded)
         batch = neighbors + [neighbors[0]] * (K - len(neighbors))
         free1 = (kf.mp_idx < 0) & kf.valid
@@ -339,7 +357,7 @@ class Triangulator:
             return jnp.asarray(np.stack([getattr(n, attr) for n in batch]))
 
         free2 = np.stack([(n.mp_idx < 0) & n.valid for n in batch])
-        res = self._jit(
+        args = (
             jnp.asarray(kf.xy_un), jnp.asarray(kf.octave),
             jnp.asarray(kf.u_right), jnp.asarray(kf.depth),
             jnp.asarray(kf.desc32), jnp.asarray(free1),
@@ -349,11 +367,18 @@ class Triangulator:
             self.fx, self.fy, self.cx, self.cy, self.bf,
             jnp.asarray(self.scale_factors), jnp.asarray(self.sigma2),
             self.log_scale, self.n_levels)
-        valid_b, idx2_b, X_b = jax.device_get((res.valid, res.idx2, res.points))
+        return neighbors, args
 
+    def _write_back(self, kf: KeyFrame, neighbors, got):
+        m = self.map
+        valid_b, idx2_b, X_b = got
         created_total = 0
         created_pids = []
+        if kf.bad:     # culled while the solve was in flight
+            return 0
         for b, nkf in enumerate(neighbors):
+            if nkf.bad:
+                continue
             valid = valid_b[b]
             idx2 = idx2_b[b]
             X = X_b[b]
@@ -382,9 +407,14 @@ class Triangulator:
 
 
 class Fuser:
-    def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor):
+    def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor,
+                 map_lock=None):
         self.config = config
         self.map = slam_map
+        # held for assembly + write-back, released during the device
+        # solve (see StaticLocalBA); _fuse_into (loop-closing path) is
+        # always called with the lock already held and never takes it
+        self.map_lock = map_lock
         cam = config.camera
         self.fx, self.fy, self.cx, self.cy, self.bf = \
             cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
@@ -476,6 +506,15 @@ class Fuser:
         table; direction-1 rows (fuse kf's points into each neighbor) and
         the direction-2 row (fuse neighbors' points into kf) select their
         candidates through per-row valid masks."""
+        problem = self._assemble_neighborhood(kf, targets)
+        if problem is None:
+            return
+        ids, n, args = problem
+        res = self._jit_batch(*args)
+        feat_idx_b = np.asarray(res.feat_idx)
+        self._write_back_neighborhood(kf, targets, ids, n, feat_idx_b)
+
+    def _assemble_neighborhood(self, kf: KeyFrame, targets: List[KeyFrame]):
         m = self.map
         pt = m.points
         kfp = kf.mp_idx[kf.mp_idx >= 0]
@@ -488,7 +527,7 @@ class Fuser:
         union = np.union1d(kf_points, nb_points)
         union = union[~pt.bad[union]][: self.P]
         if union.size == 0 or not targets:
-            return
+            return None
         n = len(union)
         P = self._pb.fit(n)
         ids = union
@@ -522,7 +561,7 @@ class Fuser:
                     rows[b] = np.zeros_like(rows[b])
             return jnp.asarray(np.stack(rows))
 
-        res = self._jit_batch(
+        args = (
             jnp.asarray(xw), jnp.asarray(desc), jnp.asarray(valid),
             jnp.asarray(normal), jnp.asarray(maxd), jnp.asarray(mind),
             stack(lambda t: t.Rcw), stack(lambda t: t.tcw),
@@ -534,9 +573,17 @@ class Fuser:
             self.width, self.height,
             jnp.asarray(self.scale_factors), jnp.asarray(self.sigma2),
             self.log_scale, self.n_levels, 3.0)
-        feat_idx_b = np.asarray(res.feat_idx)
+        return ids, n, args
+
+    def _write_back_neighborhood(self, kf: KeyFrame, targets, ids, n,
+                                 feat_idx_b):
+        m = self.map
+        pt = m.points
+        B = self.max_targets
         touched = []
         for b, target in list(enumerate(targets)) + [(B, kf)]:
+            if target.bad:     # culled while the solve was in flight
+                continue
             feat_idx = feat_idx_b[b]
             for i in np.nonzero(feat_idx[:n] >= 0)[0]:
                 fid = int(feat_idx[i])
@@ -558,28 +605,39 @@ class Fuser:
         m.update_points_normal_depth(touched)
 
     def __call__(self, kf: KeyFrame, n_neighbors: int = 10):
+        import contextlib
         m = self.map
-        targets = []
-        for nid in kf.best_covisible(n_neighbors):
-            nkf = m.kfs.get(nid)
-            if nkf is None or nkf.bad:
-                continue
-            targets.append(nkf)
-            for nid2 in nkf.best_covisible(5):
-                n2 = m.kfs.get(nid2)
-                if n2 is not None and not n2.bad and n2.id != kf.id and \
-                        n2 not in targets:
-                    targets.append(n2)
-        targets = targets[: self.max_targets]
-        # both directions (kf's points into neighbors + neighbors' points
-        # into kf) in one dispatch
-        self._fuse_neighborhood(kf, targets)
-        # refresh (batched: this touches every point of the KF)
-        kf_pids = [int(p) for p in kf.mp_idx[kf.mp_idx >= 0]
-                   if not m.points.bad[int(p)]]
-        m.update_point_descriptors(kf_pids)
-        m.update_points_normal_depth(kf_pids)
-        m.update_connections(kf)
+        lock = self.map_lock if self.map_lock is not None \
+            else contextlib.nullcontext()
+        with lock:
+            targets = []
+            for nid in kf.best_covisible(n_neighbors):
+                nkf = m.kfs.get(nid)
+                if nkf is None or nkf.bad:
+                    continue
+                targets.append(nkf)
+                for nid2 in nkf.best_covisible(5):
+                    n2 = m.kfs.get(nid2)
+                    if n2 is not None and not n2.bad and n2.id != kf.id \
+                            and n2 not in targets:
+                        targets.append(n2)
+            targets = targets[: self.max_targets]
+            # both directions (kf's points into neighbors + neighbors'
+            # points into kf) in one dispatch
+            problem = self._assemble_neighborhood(kf, targets)
+        if problem is None:
+            return
+        ids, n, args = problem
+        res = self._jit_batch(*args)                 # lock released
+        feat_idx_b = np.asarray(res.feat_idx)
+        with lock:
+            self._write_back_neighborhood(kf, targets, ids, n, feat_idx_b)
+            # refresh (batched: this touches every point of the KF)
+            kf_pids = [int(p) for p in kf.mp_idx[kf.mp_idx >= 0]
+                       if not m.points.bad[int(p)]]
+            m.update_point_descriptors(kf_pids)
+            m.update_points_normal_depth(kf_pids)
+            m.update_connections(kf)
 
 
 def select_window_trajectories(trajectories, window_ids, max_trajectories):

@@ -41,9 +41,11 @@ class System:
         self.static_ba = StaticLocalBA(config, self.map, ext,
                                        map_lock=self.tracking.map_lock)
         self.global_ba = GlobalBA(config, self.map, ext)
-        self.local_mapper.triangulator = Triangulator(config, self.map, ext,
-                                                      self.local_mapper)
-        self.local_mapper.fuser = Fuser(config, self.map, ext)
+        self.local_mapper.triangulator = Triangulator(
+            config, self.map, ext, self.local_mapper,
+            map_lock=self.tracking.map_lock)
+        self.local_mapper.fuser = Fuser(config, self.map, ext,
+                                        map_lock=self.tracking.map_lock)
         self.human_ba = HumanLocalBA(config, self.map, ext) \
             if config.human.ok else None
         self._frame_count = 0
@@ -178,11 +180,14 @@ class System:
         with self._map_lock:
             with span(self.profiler, "map.cull_points"):
                 lm.cull_map_points(prev_kf.id)
-            with span(self.profiler, "map.triangulate"):
-                lm.create_new_points(prev_kf)
-        with self._map_lock:
-            with span(self.profiler, "map.fuse"):
-                lm.fuse_neighbors(prev_kf)
+        # Triangulator / Fuser / StaticLocalBA take the lock themselves
+        # for graph assembly + write-back and RELEASE it during their
+        # device dispatches, so the tracking thread only ever waits on
+        # short host-side map sections.
+        with span(self.profiler, "map.triangulate"):
+            lm.create_new_points(prev_kf)
+        with span(self.profiler, "map.fuse"):
+            lm.fuse_neighbors(prev_kf)
         # The reference runs ONE local BA (static or human-trajectory,
         # by IsStaticOnly) every mMaxFrames (Tracking.cc:705-717).  We
         # run the static local BA per keyframe in BOTH modes — per-KF
