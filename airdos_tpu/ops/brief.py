@@ -25,6 +25,16 @@ def load_pattern() -> np.ndarray:
     return np.load(Path(__file__).parent / "orb_pattern.npy")
 
 
+@functools.lru_cache(maxsize=1)
+def _pattern_radius() -> int:
+    """Max radius of any (rotated) sample point: rotation preserves norm,
+    so ceil(max ||p||) bounds every rounded rotated offset."""
+    pat = load_pattern().astype(np.float64)
+    r = np.sqrt(np.maximum(pat[:, 0] ** 2 + pat[:, 1] ** 2,
+                           pat[:, 2] ** 2 + pat[:, 3] ** 2)).max()
+    return int(np.ceil(r))
+
+
 def compute_descriptors(img_blur: jnp.ndarray,
                         xs: jnp.ndarray, ys: jnp.ndarray,
                         angles_deg: jnp.ndarray) -> jnp.ndarray:
@@ -46,9 +56,43 @@ def compute_descriptors(img_blur: jnp.ndarray,
     dy = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None]).astype(jnp.int32)
 
     h, w = img_blur.shape
-    gx = jnp.clip(xs[:, None] + dx, 0, w - 1)      # [N, 512]
-    gy = jnp.clip(ys[:, None] + dy, 0, h - 1)
-    vals = img_blur[gy, gx]                        # [N, 512]
+    if jax.default_backend() == "cpu":
+        # CPU lowering: a 2-D gather at the N x 512 rotated sample points.
+        gx = jnp.clip(xs[:, None] + dx, 0, w - 1)  # [N, 512]
+        gy = jnp.clip(ys[:, None] + dy, 0, h - 1)
+        vals = img_blur[gy, gx]                    # [N, 512]
+    else:
+        # TPU lowering: XLA turns the 2-D gather into per-element scalar
+        # gathers (~9 ms/frame on v5e across levels).  Instead cut the
+        # (2R+1)^2 window around each keypoint with two one-hot matmuls
+        # (rows from the image, then a column window), and resolve the
+        # 512 rotated samples inside the window with one-hot contractions
+        # — everything lands on the MXU, zero gathers.  Bit-exact vs the
+        # gather path (verified: identical descriptor bytes).
+        R = _pattern_radius()
+        win_sz = 2 * R + 1
+        n = xs.shape[0]
+        y0 = jnp.clip(ys - R, 0, h - win_sz)
+        x0 = jnp.clip(xs - R, 0, w - win_sz)
+        hh = jax.lax.broadcasted_iota(jnp.int32, (n * win_sz, h), 1)
+        rbase = (y0[:, None] + jnp.arange(win_sz)[None, :]).reshape(-1)
+        rows = ((hh == rbase[:, None]).astype(img_blur.dtype)
+                @ img_blur).reshape(n, win_sz, w)                # [N,S,W]
+        ww = jax.lax.broadcasted_iota(jnp.int32, (n, w, win_sz), 1)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (n, w, win_sz), 2)
+        colsel = (ww == x0[:, None, None] + cc).astype(img_blur.dtype)
+        win = jnp.einsum("nrw,nwc->nrc", rows, colsel,
+                         preferred_element_type=jnp.float32)     # [N,S,S]
+        # clamp into the window == the gather path's clip-to-image-edge
+        # (window edge IS the image edge exactly when clipping engages)
+        ry = jnp.clip(ys[:, None] + dy - y0[:, None], 0, win_sz - 1)
+        rx = jnp.clip(xs[:, None] + dx - x0[:, None], 0, win_sz - 1)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (n, 512, win_sz), 2)
+        eqr = (rr == ry[:, :, None]).astype(img_blur.dtype)
+        eqc = (rr == rx[:, :, None]).astype(img_blur.dtype)
+        tmp = jnp.einsum("nrc,nsc->nsr", win, eqc,
+                         preferred_element_type=jnp.float32)     # [N,512,S]
+        vals = jnp.sum(tmp * eqr, axis=2)                        # [N, 512]
 
     t0 = vals[:, :256]
     t1 = vals[:, 256:]

@@ -93,6 +93,7 @@ class System:
         from airdos_tpu.utils import obs as _obs
         _obs._global_log = self.events     # subsystem emissions land here
         self.static_ba.profiler = self.profiler
+        self.tracking.profiler = self.profiler
 
     # ----------------------------------------------------------------- api
     def track_stereo(self, data: FrameData):

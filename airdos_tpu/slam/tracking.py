@@ -78,6 +78,7 @@ class Tracking:
 
         import threading
         self.map_lock = threading.Lock()  # tracking <-> mapping-thread guard
+        self.profiler = None             # set by System (fine-grained spans)
         self.keyframe_db = None          # set by System once the vocab exists
         self._full_step = None           # lazily-built fused tracking program
         self._sharded_pnp = None         # lazily-built multi-chip RANSAC
@@ -160,7 +161,8 @@ class Tracking:
                 self.state = TrackState.OK
                 self._update_velocity(frame)
                 self._clean_vo_matches(frame)
-                with self.map_lock:
+                from airdos_tpu.utils.obs import span as _span
+                with _span(self.profiler, "track.kf"), self.map_lock:
                     if not self.only_tracking and self._need_new_keyframe(frame):
                         self._create_new_keyframe(frame)
                     elif self.config.human.ok and frame.humans and \
@@ -289,7 +291,8 @@ class Tracking:
             from airdos_tpu.slam.fused import make_full_track_step
             self._full_step = make_full_track_step(self.frontend, self.config)
 
-        with self.map_lock:
+        from airdos_tpu.utils.obs import span
+        with span(self.profiler, "track.prep"), self.map_lock:
             self._update_last_frame_vo_points()
             xw_p, valid_p = self._gather_last_frame_points(lf)
             if valid_p.sum() < 10:
@@ -308,6 +311,8 @@ class Tracking:
             ids, xw_c, desc_c, valid_c, normal_c, maxd_c, mind_c = \
                 self._candidate_arrays(lf)
 
+        pack_span = span(self.profiler, "track.pack")
+        pack_span.__enter__()
         Rv, tv = self.velocity
         Rp = (Rv @ lf.Rcw).astype(np.float32)
         tp = (Rv @ lf.tcw + tv).astype(np.float32)
@@ -347,13 +352,16 @@ class Tracking:
         cand_f32[:, 7] = mind_c
         cand_f32[:, 8] = valid_c
 
-        res = self._full_step(imL, imR, maskL, maskR,
-                              jnp.asarray(torso_px),
-                              jnp.asarray(prior_pack),
-                              jnp.asarray(last_f32), jnp.asarray(desc_p),
-                              jnp.asarray(cand_f32), jnp.asarray(desc_c),
-                              forward, backward, with_disparity=want_disp)
-        host = jax.device_get(res)
+        pack_span.__exit__(None, None, None)
+        with span(self.profiler, "track.step"):
+            res = self._full_step(imL, imR, maskL, maskR,
+                                  jnp.asarray(torso_px),
+                                  jnp.asarray(prior_pack),
+                                  jnp.asarray(last_f32), jnp.asarray(desc_p),
+                                  jnp.asarray(cand_f32), jnp.asarray(desc_c),
+                                  forward, backward,
+                                  with_disparity=want_disp)
+            host = jax.device_get(res)
         frame = Frame.from_track_result(self.frontend, data, host)
         sc = host.scalars
         frame.set_pose(sc[:9].reshape(3, 3), sc[9:12])
@@ -363,7 +371,7 @@ class Tracking:
         if n_motion < 20:
             return frame, False
 
-        with self.map_lock:
+        with span(self.profiler, "track.assoc"), self.map_lock:
             # associations: motion matches (last-frame slots -> pids/VO)
             mp_idx = frame.mp_idx
             mpof = host.feat_i32[:, 2]
