@@ -95,17 +95,24 @@ def keypoint_angles(img: jnp.ndarray, xs: jnp.ndarray,
       31 patch rows with a one-hot matmul on the MXU and reduce with
       iota-derived dx/|dx|<=umax masks, zero gathers."""
     if jax.default_backend() == "cpu":
-        k10, k01 = _moment_kernels()
-        h, w = img.shape
-        dy = jnp.arange(-HALF_PATCH, HALF_PATCH + 1)
-        gy = jnp.clip(ys[:, None] + dy[None, :], 0, h - 1)       # [N, 31]
-        gx = jnp.clip(xs[:, None] + dy[None, :], 0, w - 1)       # [N, 31]
-        patch = img[gy[:, :, None], gx[:, None, :]]              # [N, 31, 31]
-        kk = jnp.stack([jnp.asarray(k10), jnp.asarray(k01)])     # [2, 31, 31]
-        m = jnp.einsum("nij,kij->nk", patch, kk)                 # [N, 2]
-        ang = jnp.degrees(jnp.arctan2(m[:, 1], m[:, 0]))
-        return jnp.where(ang < 0, ang + 360.0, ang)
+        return _angles_gather(img, xs, ys)
+    return _angles_onehot(img, xs, ys)
 
+
+def _angles_gather(img, xs, ys):
+    k10, k01 = _moment_kernels()
+    h, w = img.shape
+    dy = jnp.arange(-HALF_PATCH, HALF_PATCH + 1)
+    gy = jnp.clip(ys[:, None] + dy[None, :], 0, h - 1)           # [N, 31]
+    gx = jnp.clip(xs[:, None] + dy[None, :], 0, w - 1)           # [N, 31]
+    patch = img[gy[:, :, None], gx[:, None, :]]                  # [N, 31, 31]
+    kk = jnp.stack([jnp.asarray(k10), jnp.asarray(k01)])         # [2, 31, 31]
+    m = jnp.einsum("nij,kij->nk", patch, kk)                     # [N, 2]
+    ang = jnp.degrees(jnp.arctan2(m[:, 1], m[:, 0]))
+    return jnp.where(ang < 0, ang + 360.0, ang)
+
+
+def _angles_onehot(img, xs, ys):
     h, w = img.shape
     n = xs.shape[0]
     size = 2 * HALF_PATCH + 1

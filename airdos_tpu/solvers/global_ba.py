@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from airdos_tpu.geometry.se3 import se3_compose, se3_exp
 from airdos_tpu.solvers.local_ba import (CHI2_MONO, CHI2_STEREO,
                                          _proj_residual)
+from airdos_tpu.solvers.smallmat import inv3x3, inv6x6
 
 
 class GlobalBAResult(NamedTuple):
@@ -94,7 +95,7 @@ def global_bundle_adjust(
             jnp.maximum(jnp.trace(Hpp, axis1=1, axis2=2)[:, None, None] / 3.0,
                         1e-3)
         Hpp_d = Hpp_d + 1e-6 * jnp.eye(3, dtype=dtype)[None]
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        Hpp_inv = inv3x3(Hpp_d)
         Hpp_inv = jnp.where(point_valid[:, None, None], Hpp_inv, 0.0)
 
         # damped camera diagonal (Marquardt scaling on Hcc's diagonal)
@@ -127,7 +128,7 @@ def global_bundle_adjust(
         D = Hcc_d - D_corr
         D = D * cam_free[:, :, None] + \
             jnp.eye(6, dtype=dtype)[None] * (1.0 - cam_free[:, :, None])
-        D_inv = jnp.linalg.inv(D + 1e-6 * jnp.eye(6, dtype=dtype)[None])
+        D_inv = inv6x6(D + 1e-6 * jnp.eye(6, dtype=dtype)[None])
 
         def precond(r):
             return jnp.einsum("ckl,cl->ck", D_inv, r)

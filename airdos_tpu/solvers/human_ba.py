@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from airdos_tpu.geometry.se3 import se3_compose, se3_exp, so3_exp, so3_hat
+from airdos_tpu.solvers.smallmat import cho_solve_dense, inv3x3
 
 CHI2_STEREO = 7.815
 N_PARTS = 14
@@ -275,7 +276,7 @@ def human_bundle_adjust(
         Hpp = Hpp + (lam * jnp.eye(3, dtype=dtype))[None] * \
             jnp.maximum(jnp.trace(Hpp, axis1=1, axis2=2)[:, None, None] / 3.0, 1e-3)
         Hpp = Hpp + 1e-6 * jnp.eye(3, dtype=dtype)[None]
-        Hpp_inv = jnp.where(point_valid[:, None, None], jnp.linalg.inv(Hpp), 0.0)
+        Hpp_inv = jnp.where(point_valid[:, None, None], inv3x3(Hpp), 0.0)
         Hcc = psum(jnp.zeros((C, 6, 6), dtype).at[es_cam].add(
             jnp.einsum("eik,e,eil->ekl", Jc, w_s, Jc)))
         bc = psum(jnp.zeros((C, 6), dtype).at[es_cam].add(
@@ -345,7 +346,7 @@ def human_bundle_adjust(
         H = H + jnp.diag(1.0 - freef)
         b = b * freef
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-6 * jnp.eye(D, dtype=dtype)
-        dx = jnp.linalg.solve(Hd, b)
+        dx = cho_solve_dense(Hd, b)
         dx = dx * freef
 
         # ---- apply updates --------------------------------------------

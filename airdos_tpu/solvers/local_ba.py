@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from airdos_tpu.geometry.se3 import se3_compose, se3_exp, so3_hat
+from airdos_tpu.solvers.smallmat import cho_solve_dense, inv3x3
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
@@ -130,7 +131,7 @@ def local_bundle_adjust(
         Hpp = Hpp + (lam * jnp.eye(3, dtype=dtype))[None] * \
             jnp.maximum(jnp.trace(Hpp, axis1=1, axis2=2)[:, None, None] / 3.0, 1e-3)
         Hpp = Hpp + 1e-6 * jnp.eye(3, dtype=dtype)[None]
-        Hpp_inv = jnp.linalg.inv(Hpp)
+        Hpp_inv = inv3x3(Hpp)
         Hpp_inv = jnp.where(point_valid[:, None, None], Hpp_inv, 0.0)
 
         # Schur: S = Hcc - sum_e sum_e' W_e Hpp^-1 W_e'^T  (same point)
@@ -157,7 +158,7 @@ def local_bundle_adjust(
         # dense solve on the reduced system
         Sd = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
         Sd = Sd + lam * jnp.diag(jnp.diag(Sd)) + 1e-6 * jnp.eye(6 * C, dtype=dtype)
-        dx_c = jnp.linalg.solve(Sd, b_red.reshape(-1)).reshape(C, 6)
+        dx_c = cho_solve_dense(Sd, b_red.reshape(-1)).reshape(C, 6)
         dx_c = dx_c * cam_free[:, None]
 
         # back-substitute points: dx_p = Hpp^-1 (bp - sum_c Wagg_pc^T dx_c)

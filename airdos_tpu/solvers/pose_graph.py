@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from airdos_tpu.geometry.se3 import (sim3_compose, sim3_inverse, sim3_log,
                                      so3_exp)
+from airdos_tpu.solvers.smallmat import cho_solve_dense
 
 
 def _edge_residual(Ri, ti, si, Rj, tj, sj, Rm, tm, sm):
@@ -86,7 +87,7 @@ def optimize_essential_graph(
         H = H * freef[:, None] * freef[None, :] + jnp.diag(1.0 - freef)
         b = b * freef
         Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-6 * jnp.eye(D, dtype=dtype)
-        dx = (jnp.linalg.solve(Hd, b) * freef).reshape(K, 7)
+        dx = (cho_solve_dense(Hd, b) * freef).reshape(K, 7)
         Rn = jnp.matmul(so3_exp(dx[:, 3:6]), R, precision="highest")
         tn = t + dx[:, :3]
         sn = s * jnp.exp(dx[:, 6])

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from airdos_tpu.geometry.se3 import se3_exp, se3_compose, se3_inverse, \
     se3_log, so3_hat
+from airdos_tpu.solvers.smallmat import inv6x6
 
 CHI2_MONO = 5.991
 CHI2_STEREO = 7.815
@@ -171,7 +172,10 @@ def pose_optimize(R0: jnp.ndarray, t0: jnp.ndarray,
             R, t, lam, f_prev = carry
             H, b, _ = build_system(R, t, active, use_huber)
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=dtype)
-            dx = jnp.linalg.solve(Hd, b)
+            # closed-form SPD 6x6 inverse: jnp.linalg.solve is an LU
+            # custom-call (~0.1 ms of serial latency EACH; this loop runs
+            # 40x inside the fused tracking step)
+            dx = inv6x6(Hd) @ b
             dR, dt = se3_exp(dx)
             Rn, tn = se3_compose(dR, dt, R, t)
             _, _, f_new = build_system(Rn, tn, active, use_huber)

@@ -148,3 +148,57 @@ def test_orb_extractor_mask(rng):
     # eroded margin: nothing at or right of the boundary
     assert (xy[:, 0] < 160).all()
     assert valid.sum() > 50
+
+
+def test_onehot_lowerings_match_gather(rng):
+    """The TPU one-hot MXU lowerings (zero-gather patch ops) must be
+    numerically equivalent to the CPU gather lowerings: descriptors
+    bit-exact, angles within f32 reduction noise, SAD windows exact."""
+    from airdos_tpu.ops.orientation import _angles_gather, _angles_onehot
+    from airdos_tpu.ops.brief import (_pattern_radius, _samples_gather,
+                                      _samples_onehot)
+    from airdos_tpu.matching.stereo import (_sad_windows_gather,
+                                            _sad_windows_onehot)
+
+    h, w, n = 120, 160, 64
+    img = jnp.asarray(textured_image(rng, h, w).astype(np.float32))
+    # include keypoints at the extractor border (16 px) where clipping
+    # engages for rotated BRIEF samples (pattern radius > 16)
+    xs = np.concatenate([rng.integers(16, w - 16, n - 4),
+                         [16, w - 17, 16, w - 17]]).astype(np.int32)
+    ys = np.concatenate([rng.integers(16, h - 16, n - 4),
+                         [16, 16, h - 17, h - 17]]).astype(np.int32)
+    xs_j, ys_j = jnp.asarray(xs), jnp.asarray(ys)
+
+    a_g = np.asarray(_angles_gather(img, xs_j, ys_j))
+    a_o = np.asarray(_angles_onehot(img, xs_j, ys_j))
+    dd = np.abs(((a_g - a_o) + 180.0) % 360.0 - 180.0)
+    assert dd.max() < 0.1
+
+    ang = jnp.asarray(rng.uniform(0, 360, n).astype(np.float32))
+    pat = jnp.asarray(load_pattern())
+    px = jnp.concatenate([pat[:, 0], pat[:, 2]])
+    py = jnp.concatenate([pat[:, 1], pat[:, 3]])
+    ar = jnp.radians(ang)
+    ca, sa = jnp.cos(ar), jnp.sin(ar)
+    dx = jnp.round(px[None] * ca[:, None] - py[None] * sa[:, None]).astype(jnp.int32)
+    dy = jnp.round(px[None] * sa[:, None] + py[None] * ca[:, None]).astype(jnp.int32)
+    v_g = np.asarray(_samples_gather(img, xs_j, ys_j, dx, dy))
+    v_o = np.asarray(_samples_onehot(img, xs_j, ys_j, dx, dy))
+    assert (v_g == v_o).all()     # exact selection -> bit-exact descriptors
+
+    # SAD windows over a 3-level stack
+    from airdos_tpu.matching.stereo import SAD_W, SAD_L
+    L = 3
+    pyr_l = jnp.asarray(rng.uniform(0, 255, (L, h, w)).astype(np.float32))
+    pyr_r = jnp.asarray(rng.uniform(0, 255, (L, h, w)).astype(np.float32))
+    oct_l = jnp.asarray(rng.integers(0, L, n).astype(np.int32))
+    dyw = jnp.arange(-SAD_W, SAD_W + 1)
+    dxr = jnp.arange(-SAD_W - SAD_L, SAD_W + SAD_L + 1)
+    gy = jnp.clip(ys_j[:, None] + dyw[None], 0, h - 1)
+    gxl = jnp.clip(xs_j[:, None] + dyw[None], 0, w - 1)
+    gxr = jnp.clip(xs_j[:, None] + dxr[None], 0, w - 1)
+    p_g, s_g = _sad_windows_gather(pyr_l, pyr_r, oct_l, gy, gxl, gxr)
+    p_o, s_o = _sad_windows_onehot(pyr_l, pyr_r, oct_l, gy, gxl, gxr)
+    assert (np.asarray(p_g) == np.asarray(p_o)).all()
+    assert (np.asarray(s_g) == np.asarray(s_o)).all()
