@@ -60,12 +60,12 @@ class Vocabulary:
         steps above (stopping at the root), exactly DBoW2's
         getParentNode(wid, levelsup).  Consulted at the leaf reached by
         the descent, so uneven trees group each word relative to its OWN
-        depth like the reference."""
+        depth like the reference.  Fully vectorized — a per-node Python
+        loop takes ~a minute at ORBvoc scale (~10^6 nodes)."""
         n = len(self.word_id)
         parent = np.zeros(n, np.int32)
-        for nid in range(n):
-            ch = self.children[nid]
-            parent[ch[ch >= 0]] = nid
+        pids, slots = np.nonzero(self.children >= 0)
+        parent[self.children[pids, slots]] = pids
         group = np.arange(n, dtype=np.int32)
         for _ in range(max(0, int(self.feature_level))):
             group = parent[group]          # parent[0] == 0: stop at root
@@ -241,28 +241,41 @@ def train_vocabulary(descriptors_u8: np.ndarray, k: int = 10, depth: int = 4,
 def _from_node_records(k: int, depth: int, parents, descs_u8, wts, leaf
                        ) -> Vocabulary:
     """Assemble a Vocabulary from per-node records in DBoW2 file order
-    (node ids 1..n implied by order; word ids in leaf read order)."""
+    (node ids 1..n implied by order; word ids in leaf read order).
+    Vectorized: per-record Python loops cost minutes at ORBvoc scale
+    (~10^6 records)."""
+    parents = np.asarray(parents, np.int64)
+    leaf = np.asarray(leaf, bool)
+    wts = np.asarray(wts, np.float32)
     n = len(parents) + 1   # + root
     node_desc = np.zeros((n, 32), np.uint8)
     if n > 1:
         node_desc[1:] = np.asarray(descs_u8, np.uint8)
+    # children slots: records appear in id order, so a stable sort by
+    # parent gives each child its within-parent rank = position - first
+    # occurrence of that parent in the sorted order
     children = np.full((n, k), -1, np.int32)
-    child_count = np.zeros(n, np.int32)
-    for i, p in enumerate(parents):
-        nid = i + 1
-        children[p, child_count[p]] = nid
-        child_count[p] += 1
+    if n > 1:
+        ids = np.arange(1, n, dtype=np.int64)
+        order = np.argsort(parents, kind="stable")
+        ps = parents[order]
+        first = np.zeros(len(ps), np.int64)
+        newp = np.empty(len(ps), bool)
+        newp[0] = True
+        newp[1:] = ps[1:] != ps[:-1]
+        first = np.maximum.accumulate(np.where(newp, np.arange(len(ps)), 0))
+        rank = np.arange(len(ps)) - first
+        if rank.size and int(rank.max()) >= k:
+            raise ValueError(f"node with more than k={k} children")
+        children[ps, rank] = ids[order].astype(np.int32)
     word_id = np.full(n, -1, np.int32)
-    weights = []
-    w = 0
-    for i, is_leaf in enumerate(leaf):
-        if is_leaf:
-            word_id[i + 1] = w
-            weights.append(wts[i])
-            w += 1
+    leaf_rows = np.nonzero(leaf)[0]
+    word_id[leaf_rows + 1] = np.arange(len(leaf_rows), dtype=np.int32)
+    weights = wts[leaf_rows]
     return Vocabulary(k=k, depth=depth, node_desc32=_pack_u32(node_desc),
                       children=children, word_id=word_id,
-                      weights=np.asarray(weights, np.float32), n_words=w)
+                      weights=np.asarray(weights, np.float32),
+                      n_words=int(len(leaf_rows)))
 
 
 def load_dbow2_binary(path: str | Path) -> Vocabulary:
@@ -316,20 +329,35 @@ def save_dbow2_binary(voc: Vocabulary, path: str | Path):
         f.write(nodes.tobytes())
 
 
-def load_dbow2_text(path: str | Path) -> Vocabulary:
+def load_dbow2_text(path: str | Path, cache: bool = True) -> Vocabulary:
     """Load the DBoW2 text format (first line: k L scoring weighting; then
     one node per line: parent_id is_leaf d0..d31 weight), as written by
-    TemplatedVocabulary::saveToTextFile — the ORBvoc.txt format."""
+    TemplatedVocabulary::saveToTextFile — the ORBvoc.txt format
+    (System.cc:134-139 loads it as the one big startup cost).
+
+    Bulk-parsed with np.loadtxt (a per-line Python loop costs minutes at
+    ORBvoc scale, ~1.1M lines); a one-time ``<path>.npz`` sidecar cache
+    makes every later startup a sub-second mmap load."""
+    path = Path(path)
+    cache_path = path.with_suffix(path.suffix + ".npz")
+    if cache and cache_path.exists() and \
+            cache_path.stat().st_mtime >= path.stat().st_mtime:
+        return Vocabulary.load_npz(cache_path)
     with open(path) as f:
         header = f.readline().split()
         k, depth = int(header[0]), int(header[1])
-        parents, descs, wts, leaf = [], [], [], []
-        for line in f:
-            parts = line.split()
-            if len(parts) < 35:
-                continue
-            parents.append(int(parts[0]))
-            leaf.append(int(parts[1]) != 0)
-            descs.append([int(x) for x in parts[2:34]])
-            wts.append(float(parts[34]))
-    return _from_node_records(k, depth, parents, descs, wts, leaf)
+        # one C-speed bulk parse of the 35-column node table
+        data = np.loadtxt(f, dtype=np.float64, ndmin=2)
+    if data.size == 0:
+        data = data.reshape(0, 35)
+    parents = data[:, 0].astype(np.int64)
+    leaf = data[:, 1] != 0
+    descs = data[:, 2:34].astype(np.uint8)
+    wts = data[:, 34].astype(np.float32)
+    voc = _from_node_records(k, depth, parents, descs, wts, leaf)
+    if cache:
+        try:
+            voc.save_npz(cache_path)
+        except OSError:
+            pass          # read-only vocabulary dir: skip the cache
+    return voc

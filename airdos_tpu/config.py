@@ -54,7 +54,13 @@ class OrbConfig:
 class HumanConfig:
     ok: bool = False          # Human.OK — enable the dynamic-human pipeline
     is_seg: bool = False      # Human.isSeg — mask dynamic regions from ORB
-    use_tracked_id: float = 0.0  # Human.UseTrackedId (reference reads a float)
+    # Human.UseTrackedId (the reference reads a float, Tracking.cc:116).
+    # Truthy -> dataset loaders ingest track_id_alpha/ per-frame ids;
+    # falsy -> every human observation gets track id -1 and never forms a
+    # trajectory (the reference's no-trackid branch, Frame.cc:273-275).
+    # Programmatic default is on; YAML ingestion follows cv::FileStorage
+    # implicit-zero semantics (missing key -> 0 -> off).
+    use_tracked_id: float = 1.0
     reject_th: float = 0.1    # Human.RejectTh — min joint confidence
 
 
@@ -126,19 +132,19 @@ class DeviceConfig:
     """TPU-side static-shape budgets (no analogue in the reference — these
     bound the padded array shapes every jitted program is compiled for)."""
     max_keypoints: int = 2048         # padded keypoint slots per image
-    grid_cols: int = 64               # feature grid (reference: Frame.h FRAME_GRID_COLS)
-    grid_rows: int = 48
     max_local_kfs: int = 32           # local-BA camera window
     max_fixed_kfs: int = 32
     max_local_points: int = 4096      # local-BA landmark budget
-    max_obs_per_point: int = 16
     max_ba_edges: int = 16384
     max_humans: int = 8               # humans per frame
     n_joints: int = 18                # AlphaPose joints observed
     n_skeleton_joints: int = 14       # optimized skeleton joints
     max_trajectory_len: int = 24      # human poses per trajectory in BA window
     max_trajectories: int = 8         # trajectories per BA window
-    ransac_hypotheses: int = 512      # vmapped RANSAC batch
+    # vmapped RANSAC hypothesis batch for relocalization EPnP and loop
+    # Sim3 (the reference's sequential maxIterations=300/5-per-round
+    # loops, Tracking.cc:1538, LoopClosing.cc:278, become one batch)
+    ransac_hypotheses: int = 256
     dtype: str = "float32"
     # Multi-chip: >1 runs the local/global BA solves with their edge tables
     # sharded over an ICI mesh of this many devices (parallel/sharded_ba).

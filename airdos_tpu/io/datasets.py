@@ -78,7 +78,13 @@ class TartanAirStereoSequence:
     """Iterates FrameData over a TartanAir-Shibuya style directory."""
 
     def __init__(self, root: str | Path, with_masks: bool = True,
-                 with_humans: bool = True, start: int = 0, end: int = 0):
+                 with_humans: bool = True, start: int = 0, end: int = 0,
+                 use_tracked_id: bool = True):
+        # use_tracked_id mirrors Human.UseTrackedId: when falsy the
+        # track_id_alpha/ files are not read, so every human observation
+        # carries track id -1 and never enters a trajectory — the
+        # reference's no-trackid branch (Frame.cc:273-275 human_idx = -1)
+        self.use_tracked_id = bool(use_tracked_id)
         self.root = Path(root)
         ts = []
         times_file = self.root / "times.txt"
@@ -129,7 +135,8 @@ class TartanAirStereoSequence:
         if self.with_humans:
             humL = read_alphapose_file(self.root / "alphapose_0" / f"{name}.txt")
             humR = read_alphapose_file(self.root / "alphapose_1" / f"{name}.txt")
-            tids = read_track_ids(self.root / "track_id_alpha" / f"{name}.txt")
+            tids = read_track_ids(self.root / "track_id_alpha" / f"{name}.txt") \
+                if self.use_tracked_id else None
         return FrameData(timestamp=self.timestamps[i], index=i,
                          image_left=imL, image_right=imR,
                          seg_left=segL, seg_right=segR,

@@ -55,7 +55,13 @@ def compute_descriptors(img_blur: jnp.ndarray,
     dx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None]).astype(jnp.int32)
     dy = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None]).astype(jnp.int32)
 
-    if jax.default_backend() == "cpu":
+    h, w = img_blur.shape
+    win_sz = 2 * _pattern_radius() + 1
+    if jax.default_backend() == "cpu" or h < win_sz or w < win_sz:
+        # gather path: also the safe fallback for pyramid levels smaller
+        # than the one-hot window — there jnp.clip(ys - R, 0, h - win_sz)
+        # would silently return the NEGATIVE upper bound and every one-hot
+        # row would match nothing (all-zero descriptors)
         vals = _samples_gather(img_blur, xs, ys, dx, dy)
     else:
         vals = _samples_onehot(img_blur, xs, ys, dx, dy)

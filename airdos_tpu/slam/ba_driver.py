@@ -281,11 +281,15 @@ class StaticLocalBA:
                 k = m.kfs.get(kid)
                 if k is not None and not k.bad and not cam_fixed[i]:
                     k.set_pose(R_out[i], t_out[i])
-            pt.pos[point_ids] = pts_out[:len(point_ids)]
+            # recheck pt.bad like the KF path above: a point culled while
+            # the solve was in flight must stay where the culler left it
+            alive = ~pt.bad[point_ids]
+            pt.pos[point_ids[alive]] = pts_out[:len(point_ids)][alive]
             # erase outlier observations (usually a handful)
             for i in np.nonzero(~inlier[:n_e])[0]:
-                m.erase_observation(int(ref_p[i]), int(ref_kf[i]))
-            m.update_points_normal_depth(point_ids)
+                if not pt.bad[int(ref_p[i])]:
+                    m.erase_observation(int(ref_p[i]), int(ref_kf[i]))
+            m.update_points_normal_depth(point_ids[alive])
 
 
 class Triangulator:

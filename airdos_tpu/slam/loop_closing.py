@@ -133,7 +133,8 @@ class LoopCloser:
 
         n = len(pairs)
         x1, x2, s1, s2 = pair_arrays(pairs)
-        samples = self.rng.integers(0, n, (256, 3)).astype(np.int32)
+        n_hyp = self.config.device.ransac_hypotheses
+        samples = self.rng.integers(0, n, (n_hyp, 3)).astype(np.int32)
         res = sim3_ransac(jnp.asarray(x1), jnp.asarray(x2),
                           jnp.ones(n, bool), jnp.asarray(samples),
                           jnp.asarray(9.21 * s1), jnp.asarray(9.21 * s2),

@@ -310,7 +310,12 @@ class System:
 
     def before_end(self, out_dir: Optional[str] = None):
         """Tracking::SaveMap metadata dump (KF/MP/Match/HMTraj/Motion .txt,
-        reference Tracking.cc:1745-1836)."""
+        reference Tracking.cc:1745-1836).  With no explicit directory the
+        dump goes to Data.MetaDataPath from the settings YAML (the
+        reference passes msDataFolder from that key into SaveMap,
+        Tracking.cc:180, System.cc:583-599)."""
+        if out_dir is None:
+            out_dir = self.config.meta_data_path or None
         if out_dir is None:
             return
         out = Path(out_dir)

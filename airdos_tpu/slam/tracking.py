@@ -26,6 +26,10 @@ from airdos_tpu.slam.map import HumanPose, KeyFrame, SlamMap
 from airdos_tpu.solvers.pose_opt import pose_optimize
 
 
+def _round_up_int(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 class TrackState(enum.Enum):
     NO_IMAGES_YET = 0
     NOT_INITIALIZED = 1
@@ -311,48 +315,48 @@ class Tracking:
             ids, xw_c, desc_c, valid_c, normal_c, maxd_c, mind_c = \
                 self._candidate_arrays(lf)
 
-        pack_span = span(self.profiler, "track.pack")
-        pack_span.__enter__()
-        Rv, tv = self.velocity
-        Rp = (Rv @ lf.Rcw).astype(np.float32)
-        tp = (Rv @ lf.tcw + tv).astype(np.float32)
-        ow_pred = -Rp.T @ tp
-        t_lc = lf.Rcw @ (ow_pred - lf.Ow)
-        forward = bool(t_lc[2] > self.baseline)
-        backward = bool(-t_lc[2] > self.baseline)
+        with span(self.profiler, "track.pack"):
+            Rv, tv = self.velocity
+            Rp = (Rv @ lf.Rcw).astype(np.float32)
+            tp = (Rv @ lf.tcw + tv).astype(np.float32)
+            ow_pred = -Rp.T @ tp
+            t_lc = lf.Rcw @ (ow_pred - lf.Ow)
+            forward = bool(t_lc[2] > self.baseline)
+            backward = bool(-t_lc[2] > self.baseline)
 
-        cfg = self.config
-        # uint8 uploads (possibly prefetched): the device casts; f32
-        # images cost ~4x on transfer
-        imL, imR, maskL, maskR = self.frontend.uploads(data)
-        if maskL is None:
-            maskL = self._ones_mask_dev
-            maskR = self._ones_mask_dev
-        want_disp = bool(cfg.human.ok and data.humans_left is not None
-                         and len(data.humans_left) > 0
-                         and not (cfg.system.is_ground_truth_depth
-                                  and data.depth is not None))
-        from airdos_tpu.slam.frame import MAX_HUMANS, N_TORSO, torso_pixels
-        torso_px = torso_pixels(data.humans_left) if want_disp else \
-            np.full((MAX_HUMANS * N_TORSO, 2), -1.0, np.float32)
+            cfg = self.config
+            # uint8 uploads (possibly prefetched): the device casts; f32
+            # images cost ~4x on transfer
+            imL, imR, maskL, maskR = self.frontend.uploads(data)
+            if maskL is None:
+                maskL = self._ones_mask_dev
+                maskR = self._ones_mask_dev
+            want_disp = bool(cfg.human.ok and data.humans_left is not None
+                             and len(data.humans_left) > 0
+                             and not (cfg.system.is_ground_truth_depth
+                                      and data.depth is not None))
+            from airdos_tpu.slam.frame import (MAX_HUMANS, N_TORSO,
+                                               torso_pixels)
+            torso_px = torso_pixels(data.humans_left) if want_disp else \
+                np.full((MAX_HUMANS * N_TORSO, 2), -1.0, np.float32)
 
-        prior_pack = np.concatenate([Rp.reshape(-1), tp]).astype(np.float32)
-        Np = lf.n_slots
-        last_f32 = np.zeros((Np, 8), np.float32)
-        last_f32[:, 0:3] = xw_p
-        last_f32[:, 3] = lf.angle
-        last_f32[:, 4] = lf.octave
-        last_f32[:, 5] = valid_p
-        last_f32[:, 6] = real_p
-        Pc = xw_c.shape[0]
-        cand_f32 = np.zeros((Pc, 9), np.float32)
-        cand_f32[:, 0:3] = xw_c
-        cand_f32[:, 3:6] = normal_c
-        cand_f32[:, 6] = maxd_c
-        cand_f32[:, 7] = mind_c
-        cand_f32[:, 8] = valid_c
+            prior_pack = np.concatenate([Rp.reshape(-1),
+                                         tp]).astype(np.float32)
+            Np = lf.n_slots
+            last_f32 = np.zeros((Np, 8), np.float32)
+            last_f32[:, 0:3] = xw_p
+            last_f32[:, 3] = lf.angle
+            last_f32[:, 4] = lf.octave
+            last_f32[:, 5] = valid_p
+            last_f32[:, 6] = real_p
+            Pc = xw_c.shape[0]
+            cand_f32 = np.zeros((Pc, 9), np.float32)
+            cand_f32[:, 0:3] = xw_c
+            cand_f32[:, 3:6] = normal_c
+            cand_f32[:, 6] = maxd_c
+            cand_f32[:, 7] = mind_c
+            cand_f32[:, 8] = valid_c
 
-        pack_span.__exit__(None, None, None)
         with span(self.profiler, "track.step"):
             res = self._full_step(imL, imR, maskL, maskR,
                                   jnp.asarray(torso_px),
@@ -661,7 +665,10 @@ class Tracking:
             feat_ids = np.asarray([r[1] for r in rows])
             uv = frame.xy_un[feat_ids].astype(np.float32)
             max_err2 = (5.991 / self.inv_sigma2[frame.octave[feat_ids]]).astype(np.float32)
-            samples = rng.integers(0, n, (256, 4)).astype(np.int32)
+            n_hyp = self.config.device.ransac_hypotheses
+            if self.config.device.n_chips > 1:
+                n_hyp = _round_up_int(n_hyp, self.config.device.n_chips)
+            samples = rng.integers(0, n, (n_hyp, 4)).astype(np.int32)
             pnp = self._sharded_pnp or epnp_ransac
             res = pnp(jnp.asarray(pw), jnp.asarray(uv),
                       jnp.ones(n, bool), jnp.asarray(max_err2),

@@ -171,7 +171,13 @@ def pose_optimize(R0: jnp.ndarray, t0: jnp.ndarray,
         def body(_, carry):
             R, t, lam, f_prev = carry
             H, b, _ = build_system(R, t, active, use_huber)
-            Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=dtype)
+            # trace-scaled damping floor (like the BA drivers): the
+            # closed-form inverse below loses more precision than a
+            # pivoted solve on ill-conditioned H (low parallax, few
+            # active edges), so keep the smallest eigenvalue bounded
+            # away from zero relative to the system's scale
+            floor = 1e-6 * jnp.trace(H) / 6.0 + 1e-9
+            Hd = H + lam * jnp.diag(jnp.diag(H)) + floor * jnp.eye(6, dtype=dtype)
             # closed-form SPD 6x6 inverse: jnp.linalg.solve is an LU
             # custom-call (~0.1 ms of serial latency EACH; this loop runs
             # 40x inside the fused tracking step)

@@ -31,7 +31,8 @@ def main():
     cfg = SlamConfig.from_yaml(settings)
     seq = TartanAirStereoSequence(
         seq_dir, with_masks=cfg.system.is_mask, with_humans=cfg.human.ok,
-        start=cfg.scheduler.n_start_image, end=cfg.scheduler.n_end_image)
+        start=cfg.scheduler.n_start_image, end=cfg.scheduler.n_end_image,
+        use_tracked_id=cfg.human.use_tracked_id > 0)
     slam = System(cfg)
 
     times = []

@@ -183,3 +183,70 @@ def test_localization_only_mode():
     assert err < 0.5, err
     slam.deactivate_localization_mode()
     slam.shutdown()
+
+
+def test_use_tracked_id_gates_loader(tmp_path):
+    """Human.UseTrackedId gates ingestion of track_id_alpha/ per-frame ids
+    (the reference parses the flag at Tracking.cc:116; without ids every
+    human carries track id -1 and never forms a trajectory, the
+    Frame.cc:273-275 no-trackid branch)."""
+    import cv2
+    from airdos_tpu.io.datasets import TartanAirStereoSequence
+    root = tmp_path / "seq"
+    for d in ("image_0", "image_1", "alphapose_0", "alphapose_1",
+              "track_id_alpha"):
+        (root / d).mkdir(parents=True)
+    im = np.zeros((32, 32), np.uint8)
+    cv2.imwrite(str(root / "image_0" / "000000.png"), im)
+    cv2.imwrite(str(root / "image_1" / "000000.png"), im)
+    pose = " ".join(["10 10 0.9"] * 18)
+    (root / "alphapose_0" / "000000.txt").write_text(pose + "\n")
+    (root / "alphapose_1" / "000000.txt").write_text(pose + "\n")
+    (root / "track_id_alpha" / "000000.txt").write_text("7\n")
+    (root / "times.txt").write_text("0.0\n")
+
+    seq_on = TartanAirStereoSequence(root, with_masks=False,
+                                     with_humans=True, use_tracked_id=True)
+    assert seq_on[0].track_ids is not None
+    assert int(seq_on[0].track_ids[0]) == 7
+    seq_off = TartanAirStereoSequence(root, with_masks=False,
+                                      with_humans=True, use_tracked_id=False)
+    assert seq_off[0].track_ids is None
+
+
+def test_meta_data_path_default_dump(tmp_path):
+    """before_end() with no argument dumps to Data.MetaDataPath (the
+    reference passes msDataFolder from that key into Tracking::SaveMap,
+    Tracking.cc:180, System.cc:583-599)."""
+    cfg = small_config()
+    cfg.meta_data_path = str(tmp_path / "meta")
+    world = SyntheticStereoWorld(seed=0, n_points=200, cam=cfg.camera)
+    slam = System(cfg)
+    for d, _, _ in world.sequence(6, dt=0.1, yaw_rate=0.008):
+        slam.track_stereo(d)
+    slam.before_end()           # no explicit dir -> Data.MetaDataPath
+    slam.shutdown()
+    assert (tmp_path / "meta" / "KF.txt").exists()
+    assert (tmp_path / "meta" / "MP.txt").exists()
+
+
+def test_ransac_hypotheses_knob():
+    """Device.ransac_hypotheses sizes the vmapped relocalization RANSAC
+    batch (replacing the reference's sequential maxIterations=300 loop,
+    Tracking.cc:1538)."""
+    import jax.numpy as jnp
+    from airdos_tpu.solvers.epnp import epnp_ransac
+    rng = np.random.default_rng(0)
+    n = 60
+    pw = np.stack([rng.uniform(-2, 2, n), rng.uniform(-2, 2, n),
+                   rng.uniform(3, 9, n)], 1).astype(np.float32)
+    fx = fy, cx, cy = 120.0, 64.0, 48.0
+    uv = np.stack([120.0 * pw[:, 0] / pw[:, 2] + 64.0,
+                   120.0 * pw[:, 1] / pw[:, 2] + 48.0], 1).astype(np.float32)
+    for n_hyp in (64, 128):
+        samples = rng.integers(0, n, (n_hyp, 4)).astype(np.int32)
+        res = epnp_ransac(jnp.asarray(pw), jnp.asarray(uv),
+                          jnp.ones(n, bool),
+                          jnp.full(n, 5.991, jnp.float32),
+                          jnp.asarray(samples), 120.0, 120.0, 64.0, 48.0)
+        assert int(res.n_inliers) >= n * 0.8
