@@ -440,6 +440,35 @@ class Fuser:
                      + (0,) * 8 + (None,) * 12))
         self.max_targets = 8
         self._pb = _StickyBucket(1024, self.P)
+        self.n_slots = config.device.max_keypoints
+        self._warmed = set()
+
+    def warmup(self, n_points: int):
+        """Compile the single-target fuse program (the SearchAndFuse /
+        loop-closing path) at its bucket shape, OUTSIDE any lock.  The
+        first loop closure otherwise pays this compile while correct()
+        holds the map lock, stalling the tracking thread for seconds."""
+        P = self._pb.fit(max(1, min(n_points, self.P)))
+        if P in self._warmed:
+            return
+        self._warmed.add(P)
+        N = self.n_slots
+        z3 = jnp.zeros((P, 3), jnp.float32)
+        res = self._jit(z3, jnp.zeros((P, 8), jnp.uint32),
+                        jnp.zeros(P, bool), z3,
+                        jnp.zeros(P, jnp.float32), jnp.zeros(P, jnp.float32),
+                        jnp.eye(3, dtype=jnp.float32),
+                        jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+                        jnp.zeros((N, 2), jnp.float32),
+                        jnp.zeros(N, jnp.float32),
+                        jnp.zeros(N, jnp.int32),
+                        jnp.zeros((N, 8), jnp.uint32), jnp.zeros(N, bool),
+                        self.fx, self.fy, self.cx, self.cy, self.bf,
+                        self.width, self.height,
+                        jnp.asarray(self.scale_factors),
+                        jnp.asarray(self.sigma2),
+                        self.log_scale, self.n_levels)
+        np.asarray(res.feat_idx)          # block until compiled + run
 
     def _fuse_into(self, point_ids: List[int], target: KeyFrame,
                    prefer_candidates: bool = False):
@@ -670,10 +699,22 @@ class HumanLocalBA:
     joint positions, limb lengths, motion models, and the
     bIsLost / bIsBad / bOptimized outlier flags."""
 
-    def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor):
+    def __init__(self, config: SlamConfig, slam_map: SlamMap, extractor,
+                 map_lock=None):
         from airdos_tpu.solvers.human_ba import human_bundle_adjust
         self.config = config
         self.map = slam_map
+        # same discipline as StaticLocalBA: the lock is held for graph
+        # assembly and write-back and RELEASED during the device solve.
+        # The reference guards every optimizer with Map::mMutexMapUpdate
+        # (Map.h:136) and never runs human BA concurrently with mapping
+        # (LocalMapping.cc:88-93 disables it online); here the lock makes
+        # the online tracking-thread human BA sound against the mapping
+        # worker's erase_observation/set_pose/culling.
+        self.map_lock = map_lock
+        self._thread = None        # async runner (online mode)
+        self._error = None         # exception raised inside the runner
+        self.n_runs = 0            # completed BA passes (write-back done)
         cam = config.camera
         self.fx, self.fy, self.cx, self.cy, self.bf = \
             cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
@@ -708,6 +749,48 @@ class HumanLocalBA:
                                 static_argnames=("iters1", "iters2"))
 
     def __call__(self, slam_map: SlamMap, current_kf_id: int):
+        import contextlib
+        lock = self.map_lock if self.map_lock is not None \
+            else contextlib.nullcontext()
+        with lock:
+            problem = self._assemble(current_kf_id)
+        if problem is None:
+            return
+        res = self._solve(problem)           # lock released for the solve
+        with lock:
+            self._write_back(problem, res)
+        self.n_runs += 1
+
+    def launch(self, current_kf_id: int):
+        """Run one human BA in a background thread (online mode), so the
+        tracking loop never blocks on the dense reduced solve — the same
+        overlap the reference gets for global BA from its GBA thread
+        (LoopClosing.cc:579).  At most one in flight: if the previous BA
+        is still solving, this cadence tick is skipped (returns False)."""
+        import threading
+        if self._thread is not None and self._thread.is_alive():
+            return False
+
+        def _run():
+            try:
+                self.__call__(self.map, current_kf_id)
+            except Exception as e:          # surfaced at the next join()
+                self._error = e
+
+        self._thread = threading.Thread(target=_run, daemon=True,
+                                        name="human-ba")
+        self._thread.start()
+        return True
+
+    def join(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def _assemble(self, current_kf_id: int):
         m = self.map
         pt = m.points
         kf = m.kfs.get(current_kf_id)
@@ -822,6 +905,26 @@ class HumanLocalBA:
         if not traj_valid.any():
             return
 
+        return dict(
+            cam_index=cam_index, cam_fixed=cam_fixed, point_ids=point_ids,
+            n_e=n_e, ref_p=ref_p, ref_kf=ref_kf, trajs=trajs,
+            traj_valid=traj_valid, pose_windows=pose_windows,
+            seg_edge_valid=seg_edge_valid, jo_valid=jo_valid,
+            motion_edge_valid=motion_edge_valid,
+            arrays=(cam_R, cam_t, cam_fixed, pts, pvalid,
+                    es_cam, es_pt, es_obs, es_info, es_valid,
+                    joints, joint_exists, jo_cam, jo_obs, jo_valid,
+                    seg_len, seg_free, seg_edge_valid,
+                    mot_R, mot_t, traj_valid, pose_dt, motion_edge_valid))
+
+    def _solve(self, problem):
+        opt = self.config.optimizer
+        (cam_R, cam_t, cam_fixed, pts, pvalid,
+         es_cam, es_pt, es_obs, es_info, es_valid,
+         joints, joint_exists, jo_cam, jo_obs, jo_valid,
+         seg_len, seg_free, seg_edge_valid,
+         mot_R, mot_t, traj_valid, pose_dt, motion_edge_valid) = \
+            problem["arrays"]
         res = self._jit(
             jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(cam_fixed),
             jnp.asarray(pts), jnp.asarray(pvalid),
@@ -838,23 +941,40 @@ class HumanLocalBA:
             opt.th_huber_motion, opt.th_ransac_motion, opt.th_ransac_rigidity,
             self.fx, self.fy, self.cx, self.cy, self.bf,
             opt.is_huber)
-
-        # ---- write-back ----------------------------------------------
         # ONE batched pytree download: serial np.asarray(res.field) pays a
         # full ~30 ms tunnel round trip PER FIELD (11 fields = ~300 ms)
-        res = jax.device_get(res)
+        return jax.device_get(res)
+
+    def _write_back(self, problem, res):
+        m = self.map
+        pt = m.points
+        cam_index = problem["cam_index"]
+        cam_fixed = problem["cam_fixed"]
+        point_ids = problem["point_ids"]
+        n_e = problem["n_e"]
+        ref_p, ref_kf = problem["ref_p"], problem["ref_kf"]
+        trajs = problem["trajs"]
+        traj_valid = problem["traj_valid"]
+        pose_windows = problem["pose_windows"]
+        seg_edge_valid = problem["seg_edge_valid"]
+        jo_valid = problem["jo_valid"]
+        motion_edge_valid = problem["motion_edge_valid"]
         camR_o = np.asarray(res.cam_R)
         camt_o = np.asarray(res.cam_t)
         for kid, i in cam_index.items():
-            if not cam_fixed[i]:
-                m.kfs[kid].set_pose(camR_o[i], camt_o[i])
+            # a KF culled while the solve was in flight stays where the
+            # culler left it (reference: pKF->isBad() recheck)
+            k = m.kfs.get(kid)
+            if k is not None and not k.bad and not cam_fixed[i]:
+                k.set_pose(camR_o[i], camt_o[i])
         pts_o = np.asarray(res.points)
-        pt.pos[point_ids] = pts_o[:len(point_ids)]
+        alive = ~pt.bad[point_ids]
+        pt.pos[point_ids[alive]] = pts_o[:len(point_ids)][alive]
         s_in = np.asarray(res.static_inlier)
         for i in np.nonzero(~s_in[:n_e])[0]:
-            m.erase_observation(int(ref_p[i]), int(ref_kf[i]))
-        m.update_points_normal_depth(
-            [int(p) for p in point_ids if not pt.bad[p]])
+            if not pt.bad[int(ref_p[i])]:
+                m.erase_observation(int(ref_p[i]), int(ref_kf[i]))
+        m.update_points_normal_depth(point_ids[alive])
 
         joints_o = np.asarray(res.joints)
         seg_o = np.asarray(res.seg_len)

@@ -9,12 +9,20 @@ Sim3 through covisible KFs, correct their points, fuse duplicates, optimize
 the essential graph, then (in the reference, in a thread; here inline)
 global bundle adjustment (402-749).
 
-In the reference this runs as its own OS thread in online mode only; here
-the System drives it synchronously after keyframe insertion when
-``online_loop_closing`` is enabled.
+In the reference this runs as its own OS thread in online mode only
+(System.cc:173-174) so tracking and mapping proceed while a Sim3 is being
+computed.  Here the System drives ``process()`` from the mapping worker
+(online) or inline (offline), and the same non-blocking property is
+recovered through lock granularity: detection and Sim3 computation take
+the shared map lock only around their short host-side map reads and
+RELEASE it across every device dispatch; only ``correct()`` — the actual
+map surgery — runs under the lock for its whole duration.  The tracking
+thread therefore never waits on a loop closure longer than one host map
+section or the final correction itself.
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Dict, List, Optional, Set, Tuple
 
 import jax
@@ -61,6 +69,16 @@ class LoopCloser:
         self.width, self.height = cam.width, cam.height
         self.rng = np.random.default_rng(0)
         self.n_loops_closed = 0
+        # sticky-bucket shapes for the essential-graph solve: repeat
+        # closures on a growing map reuse the compiled program instead of
+        # recompiling at every new (K, E)
+        from airdos_tpu.slam.ba_driver import _StickyBucket
+        self._kb = _StickyBucket(32, 4096)
+        self._epb = _StickyBucket(128, 1 << 16)
+
+    def _lockctx(self):
+        return self.map_lock if self.map_lock is not None \
+            else contextlib.nullcontext()
 
     # ------------------------------------------------------------ detect
     def detect(self, kf: KeyFrame) -> List[int]:
@@ -100,29 +118,33 @@ class LoopCloser:
 
     # ------------------------------------------------------- compute sim3
     def compute_sim3(self, kf: KeyFrame, cand_id: int):
-        """Returns (R12, t12, s12, matches {fid_kf: pid}) or None."""
-        ckf = self.map.kfs[cand_id]
-        self.db.ensure_bow(kf)
-        self.db.ensure_bow(ckf)
+        """Returns (R12, t12, s12, matches {fid_kf: pid}) or None.
+
+        Takes the map lock only around host-side map reads; every device
+        dispatch (BoW match, Sim3 RANSAC, OptimizeSim3, projection match)
+        runs with the lock released, so online tracking/mapping proceed
+        during the expensive parts (the reference gets the same overlap
+        from LoopClosing's dedicated thread, System.cc:173-174)."""
+        lock = self._lockctx()
+        with lock:
+            ckf = self.map.kfs.get(cand_id)
+            if ckf is None or ckf.bad:
+                return None
+            self.db.ensure_bow(kf)
+            self.db.ensure_bow(ckf)
+        # feature arrays (descriptors, BoW nodes, angles) are immutable
+        # after KF construction — the match dispatch needs no lock
         m = self._jit_bow(jnp.asarray(kf.desc32), jnp.asarray(kf.feat_nodes),
                           jnp.asarray(kf.valid), jnp.asarray(kf.angle),
                           jnp.asarray(ckf.desc32), jnp.asarray(ckf.feat_nodes),
                           jnp.asarray(ckf.valid), jnp.asarray(ckf.angle))
         idx2 = np.asarray(m.idx2)
-        pairs = []
         pt = self.map.points
-        for f1 in np.nonzero(idx2 >= 0)[0]:
-            f2 = int(idx2[f1])
-            p1 = int(kf.mp_idx[f1])
-            p2 = int(ckf.mp_idx[f2])
-            if p1 >= 0 and p2 >= 0 and not pt.bad[p1] and not pt.bad[p2]:
-                pairs.append((f1, f2, p1, p2))
-        if len(pairs) < 20:
-            return None
 
         def pair_arrays(prs):
             """Camera-frame points + per-feature sigma2 for (f1, f2, p1, p2)
-            pair rows (feature ids index octaves; point ids index positions)."""
+            pair rows (feature ids index octaves; point ids index positions).
+            Caller must hold the map lock (reads poses + point table)."""
             f1 = [p[0] for p in prs]
             f2 = [p[1] for p in prs]
             x1 = np.asarray([kf.Rcw @ pt.pos[p1] + kf.tcw
@@ -131,8 +153,18 @@ class LoopCloser:
                              for _, _, _, p2 in prs], np.float32)
             return x1, x2, self.sigma2[kf.octave[f1]], self.sigma2[ckf.octave[f2]]
 
-        n = len(pairs)
-        x1, x2, s1, s2 = pair_arrays(pairs)
+        with lock:
+            pairs = []
+            for f1 in np.nonzero(idx2 >= 0)[0]:
+                f2 = int(idx2[f1])
+                p1 = int(kf.mp_idx[f1])
+                p2 = int(ckf.mp_idx[f2])
+                if p1 >= 0 and p2 >= 0 and not pt.bad[p1] and not pt.bad[p2]:
+                    pairs.append((f1, f2, p1, p2))
+            if len(pairs) < 20:
+                return None
+            n = len(pairs)
+            x1, x2, s1, s2 = pair_arrays(pairs)
         n_hyp = self.config.device.ransac_hypotheses
         samples = self.rng.integers(0, n, (n_hyp, 3)).astype(np.int32)
         res = sim3_ransac(jnp.asarray(x1), jnp.asarray(x2),
@@ -149,12 +181,17 @@ class LoopCloser:
         grown = self._search_by_sim3(kf, ckf, Rr, tr, float(sr),
                                      {p[0] for p in pairs},
                                      {p[3] for p in pairs})
-        pairs = pairs + grown
 
-        n = len(pairs)
-        x1, x2, s1, s2 = pair_arrays(pairs)
-        obs1 = kf.xy_un[[p[0] for p in pairs]].astype(np.float32)
-        obs2 = ckf.xy_un[[p[1] for p in pairs]].astype(np.float32)
+        with lock:
+            # a point culled while the lock was released drops its pair
+            pairs = [p for p in pairs + grown
+                     if not pt.bad[p[2]] and not pt.bad[p[3]]]
+            if len(pairs) < 20:
+                return None
+            n = len(pairs)
+            x1, x2, s1, s2 = pair_arrays(pairs)
+            obs1 = kf.xy_un[[p[0] for p in pairs]].astype(np.float32)
+            obs2 = ckf.xy_un[[p[1] for p in pairs]].astype(np.float32)
         valid0 = np.ones(n, bool)
         R, t, s, inl, n_in = optimize_sim3(
             res.R, res.t, res.s,
@@ -170,7 +207,8 @@ class LoopCloser:
         # gather the candidate group's points and project them into the
         # current KF through the corrected Scw; demand >= 40 total matches
         # (reference LoopClosing.cc:350-390)
-        loop_points = self._gather_loop_points(ckf)
+        with lock:
+            loop_points = self._gather_loop_points(ckf)
         n_total, proj_matches = self._project_loop_points(
             kf, loop_points, R, t, s, ckf, matches)
         if n_total < 40:
@@ -201,8 +239,9 @@ class LoopCloser:
                 val[fid] = True
             return x, desc, maxd, val
 
-        x1c, desc1, maxd1, val1 = point_tables(kf, set())
-        x2c, desc2, maxd2, val2 = point_tables(ckf, matched_p2)
+        with self._lockctx():
+            x1c, desc1, maxd1, val1 = point_tables(kf, set())
+            x2c, desc2, maxd2, val2 = point_tables(ckf, matched_p2)
         val1 &= ~np.isin(np.arange(kf.n_slots), list(matched_f1))
         # transform: KF2 points -> cam1 via S12; KF1 points -> cam2 via S21
         x2_in_c1 = s12 * (x2c @ R12.T) + t12
@@ -220,14 +259,16 @@ class LoopCloser:
             jnp.asarray(self.scale_factors), self.log_scale, self.n_levels)
         idx2 = np.asarray(m.idx2_of_1)
         grown = []
-        for f1 in np.nonzero(idx2 >= 0)[0]:
-            f1 = int(f1)
-            f2 = int(idx2[f1])
-            p1 = int(kf.mp_idx[f1])
-            p2 = int(ckf.mp_idx[f2])
-            if p1 >= 0 and p2 >= 0 and not pt.bad[p1] and not pt.bad[p2] \
-                    and f1 not in matched_f1 and p2 not in matched_p2:
-                grown.append((f1, f2, p1, p2))
+        with self._lockctx():
+            for f1 in np.nonzero(idx2 >= 0)[0]:
+                f1 = int(f1)
+                f2 = int(idx2[f1])
+                p1 = int(kf.mp_idx[f1])
+                p2 = int(ckf.mp_idx[f2])
+                if p1 >= 0 and p2 >= 0 and not pt.bad[p1] \
+                        and not pt.bad[p2] \
+                        and f1 not in matched_f1 and p2 not in matched_p2:
+                    grown.append((f1, f2, p1, p2))
         return grown
 
     def _gather_loop_points(self, ckf: KeyFrame) -> List[int]:
@@ -258,16 +299,18 @@ class LoopCloser:
         ow = (-Rcw.T @ tcw / max(s12, 1e-9)).astype(np.float32)
 
         matched_pids = set(matches.values())
-        cand = [p for p in loop_points if p not in matched_pids]
-        if not cand:
-            return len(matches), {}
-        n = len(cand)
-        ids = np.asarray(cand)
-        xw = pt.pos[ids].astype(np.float32)
-        desc = pt.desc32[ids]
-        normal = pt.normal[ids].astype(np.float32)
-        mind = pt.min_dist[ids].astype(np.float32)
-        maxd = pt.max_dist[ids].astype(np.float32)
+        with self._lockctx():
+            cand = [p for p in loop_points
+                    if p not in matched_pids and not pt.bad[p]]
+            if not cand:
+                return len(matches), {}
+            n = len(cand)
+            ids = np.asarray(cand)
+            xw = pt.pos[ids].astype(np.float32)
+            desc = pt.desc32[ids]
+            normal = pt.normal[ids].astype(np.float32)
+            mind = pt.min_dist[ids].astype(np.float32)
+            maxd = pt.max_dist[ids].astype(np.float32)
         taken = np.zeros(kf.n_slots, bool)
         for fid in matches:
             taken[fid] = True
@@ -292,8 +335,86 @@ class LoopCloser:
 
     # ------------------------------------------------------- correct loop
     def correct(self, kf: KeyFrame, sim3_result) -> bool:
+        """CorrectLoop (reference LoopClosing.cc:402-749).
+
+        Locking (the caller must NOT hold the map lock): the map surgery —
+        pose propagation to the covisible group, loop-point merging,
+        SearchAndFuse, essential-graph assembly — runs under the lock; the
+        essential-graph device solve runs UNLOCKED on the assembled
+        snapshot; the write-back re-acquires the lock and propagates the
+        correction to keyframes/points created while the solve ran through
+        their parents (the reference's mTcwBefGBA spanning-tree walk,
+        LoopClosing.cc:682-743, applied to the pose graph)."""
+        import jax as _jax
+        lock = self._lockctx()
         R12, t12, s12, matches, cand_id, loop_points = sim3_result
-        ckf = self.map.kfs[cand_id]
+        # pre-warm the SearchAndFuse program OUTSIDE the lock: the first
+        # closure otherwise compiles it while tracking is blocked
+        if self.fuser is not None:
+            self.fuser.warmup(len(loop_points))
+        with lock:
+            problem = self._correct_map(kf, sim3_result)
+        if problem is None:
+            return False
+        index, R0, t0, fixed, e_i, e_j, Rm, tm = problem
+
+        # ---- essential-graph solve: unlocked, bucket-padded shapes ----
+        K, E = len(R0), len(e_i)
+        Kp = self._kb.fit(K)
+        Ep = self._epb.fit(E)
+        kf_R = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
+        kf_t = np.zeros((Kp, 3), np.float32)
+        kf_R[:K] = R0
+        kf_t[:K] = t0
+        fx = np.ones(Kp, bool)
+        fx[:K] = fixed
+        ei = np.zeros(Ep, np.int32)
+        ej = np.zeros(Ep, np.int32)
+        eR = np.tile(np.eye(3, dtype=np.float32), (Ep, 1, 1))
+        et = np.zeros((Ep, 3), np.float32)
+        ev = np.zeros(Ep, bool)
+        ei[:E], ej[:E], eR[:E], et[:E], ev[:E] = \
+            e_i, e_j, np.stack(Rm), np.stack(tm), True
+        R_sol, t_sol, _ = optimize_essential_graph(
+            jnp.asarray(kf_R), jnp.asarray(kf_t),
+            jnp.ones(Kp, jnp.float32), jnp.asarray(fx),
+            jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(eR), jnp.asarray(et),
+            jnp.ones(Ep, jnp.float32), jnp.asarray(ev))
+        R_out, t_out = _jax.device_get((R_sol, t_sol))
+        R_out, t_out = np.asarray(R_out)[:K], np.asarray(t_out)[:K]
+
+        with lock:
+            self._write_back_pose_graph(kf, cand_id, index, R0, t0,
+                                        R_out, t_out)
+            kf.loop_edges.add(cand_id)
+            ckf2 = self.map.kfs.get(cand_id)
+            if ckf2 is not None:       # culled while the solve ran
+                ckf2.loop_edges.add(kf.id)
+            self._last_loop_kf = kf.id
+            self.n_loops_closed += 1
+            from airdos_tpu.utils.obs import get_logger
+            get_logger().emit("loop_closed", kf=kf.id, candidate=cand_id,
+                              n_matches=len(matches),
+                              n_loop_points=len(loop_points))
+            if self.global_ba is not None:
+                if self.async_gba and self.map_lock is not None:
+                    # a new loop aborts any GBA already running
+                    # (LoopClosing.cc:435-446), then spawns a fresh one
+                    self.global_ba.launch(self.map_lock)
+                else:
+                    self.global_ba()
+        return True
+
+    def _correct_map(self, kf: KeyFrame, sim3_result):
+        """Map surgery under the lock: propagate the corrected Sim3 to the
+        covisible group + their points, merge/fuse loop points, assemble
+        the essential-graph problem.  Returns (index, R0, t0, fixed, e_i,
+        e_j, Rm, tm) or None."""
+        R12, t12, s12, matches, cand_id, loop_points = sim3_result
+        ckf = self.map.kfs.get(cand_id)
+        if kf.bad or ckf is None or ckf.bad:
+            return None
         m = self.map
         pt = m.points
 
@@ -396,61 +517,73 @@ class LoopCloser:
             for lid in k.loop_edges:
                 add_edge(k.id, lid)
         if len(e_i) < 2:
-            return False
-        E = len(e_i)
-        R_out, t_out, s_out = optimize_essential_graph(
-            jnp.asarray(kf_R), jnp.asarray(kf_t), jnp.ones(K, jnp.float32),
-            jnp.asarray(fixed),
-            jnp.asarray(np.asarray(e_i, np.int32)),
-            jnp.asarray(np.asarray(e_j, np.int32)),
-            jnp.asarray(np.stack(Rm).astype(np.float32)),
-            jnp.asarray(np.stack(tm).astype(np.float32)),
-            jnp.ones(E, jnp.float32), jnp.ones(E, bool))
-        R_out = np.asarray(R_out)
-        t_out = np.asarray(t_out)
-        # correct points via their reference keyframes (batched), then
-        # write KF poses
+            return None
+        return (index, kf_R, kf_t, fixed,
+                np.asarray(e_i, np.int32), np.asarray(e_j, np.int32),
+                Rm, tm)
+
+    def _write_back_pose_graph(self, kf: KeyFrame, cand_id: int, index,
+                               R0, t0, R_out, t_out):
+        """Apply the essential-graph solution under the lock.  Keyframes
+        created while the solve ran (online mode) are corrected through
+        their parents; points through their reference keyframes."""
+        m = self.map
+        pt = m.points
+        old_pose = {kid: (R0[i], t0[i]) for kid, i in index.items()}
+        new_pose = {kid: (R_out[i], t_out[i]) for kid, i in index.items()}
+        # children have larger ids than parents, so increasing-id order
+        # guarantees the parent is corrected first
+        for k in sorted((k for k in m.kfs.values() if not k.bad),
+                        key=lambda k: k.id):
+            if k.id in new_pose:
+                continue
+            old_pose[k.id] = (k.Rcw.copy(), k.tcw.copy())
+            par = k.parent
+            if par is None or par not in new_pose:
+                new_pose[k.id] = (k.Rcw.copy(), k.tcw.copy())
+                continue
+            Rp_o, tp_o = old_pose[par]
+            Rp_n, tp_n = new_pose[par]
+            # Tcp = Tcw_old * Twp_old ; Tcw_new = Tcp * Tpw_new
+            Rcp = k.Rcw @ Rp_o.T
+            tcp = k.tcw - Rcp @ tp_o
+            new_pose[k.id] = (Rcp @ Rp_n, Rcp @ tp_n + tcp)
+
+        # correct points via their reference keyframes (batched)
         live = np.asarray(list(pt.live_ids()), np.int64)
         if live.size:
-            max_id = max(index) + 1
-            lut = np.full(max_id + 1, -1, np.int64)
-            for kid, i in index.items():
-                lut[kid] = i
+            ids_all = np.asarray(sorted(new_pose), np.int64)
+            max_id = int(ids_all.max())
+            lut = np.full(max_id + 2, -1, np.int64)
+            lut[ids_all] = np.arange(len(ids_all))
             refs = pt.ref_kf[live].astype(np.int64)
-            refs = np.where((refs >= 0) & (refs <= max_id), refs, max_id)
+            refs = np.where((refs >= 0) & (refs <= max_id), refs, max_id + 1)
             ki = lut[refs]
             sel = ki >= 0
             live, ki = live[sel], ki[sel]
-            R_old = np.stack([kfs[i].Rcw for i in range(len(kfs))])
-            t_old = np.stack([kfs[i].tcw for i in range(len(kfs))])
+            R_old = np.stack([old_pose[k][0] for k in ids_all])
+            t_old = np.stack([old_pose[k][1] for k in ids_all])
+            R_new = np.stack([new_pose[k][0] for k in ids_all])
+            t_new = np.stack([new_pose[k][1] for k in ids_all])
             xc = np.einsum("nij,nj->ni", R_old[ki], pt.pos[live]) + t_old[ki]
             pt.pos[live] = np.einsum(
-                "nji,nj->ni", R_out[ki], xc - t_out[ki])
-        for i, k in enumerate(kfs):
-            k.set_pose(R_out[i], t_out[i])
-        kf.loop_edges.add(cand_id)
-        ckf.loop_edges.add(kf.id)
-        self._last_loop_kf = kf.id
-        self.n_loops_closed += 1
-        from airdos_tpu.utils.obs import get_logger
-        get_logger().emit("loop_closed", kf=kf.id, candidate=cand_id,
-                          n_matches=len(matches),
-                          n_loop_points=len(loop_points))
-        if self.global_ba is not None:
-            if self.async_gba and self.map_lock is not None:
-                # a new loop aborts any GBA already running
-                # (LoopClosing.cc:435-446), then spawns a fresh one
-                self.global_ba.launch(self.map_lock)
-            else:
-                self.global_ba()
-        return True
+                "nji,nj->ni", R_new[ki], xc - t_new[ki])
+        for k in m.kfs.values():
+            if not k.bad and k.id in new_pose:
+                k.set_pose(*new_pose[k.id])
 
     # ---------------------------------------------------------------- run
     def process(self, kf: KeyFrame) -> bool:
-        """Full DetectLoop -> ComputeSim3 -> CorrectLoop pass for one KF."""
-        cands = self.detect(kf)
+        """Full DetectLoop -> ComputeSim3 -> CorrectLoop pass for one KF.
+
+        Locking: the caller must NOT hold the map lock.  Detection and the
+        final correction take it; Sim3 computation locks fine-grained
+        around its host map reads (device dispatches run unlocked)."""
+        with self._lockctx():
+            cands = self.detect(kf)
         for cand in cands:
             res = self.compute_sim3(kf, cand)
             if res is not None:
+                # correct() manages the lock itself (solve runs unlocked)
                 return self.correct(kf, res)
         return False

@@ -46,7 +46,8 @@ class System:
             map_lock=self.tracking.map_lock)
         self.local_mapper.fuser = Fuser(config, self.map, ext,
                                         map_lock=self.tracking.map_lock)
-        self.human_ba = HumanLocalBA(config, self.map, ext) \
+        self.human_ba = HumanLocalBA(config, self.map, ext,
+                                     map_lock=self.tracking.map_lock) \
             if config.human.ok else None
         self._frame_count = 0
         self._last_human_ba_frame = 0
@@ -121,6 +122,8 @@ class System:
         Tracking.cc:1656-1705: stop background optimization, clear the BoW
         database and the map, restart tracking from scratch)."""
         self.global_ba.interrupt(wait=True)        # outside the map lock
+        if self.human_ba is not None:
+            self.human_ba.join()      # a write-back into a cleared map
         with self._map_lock:
             if self._map_queue is not None:
                 while not self._map_queue.empty():
@@ -206,12 +209,19 @@ class System:
                 lm.cull_keyframes(prev_kf)
             with span(self.profiler, "map.vocab"):
                 self._maybe_train_vocabulary()
-            if self.keyframe_db is not None and not prev_kf.bad:
-                if self.loop_closer is not None and \
-                        self.config.loop_closing_active:
-                    with span(self.profiler, "map.loop_closing"):
-                        self.loop_closer.process(prev_kf)
-                else:
+            kf_alive = self.keyframe_db is not None and not prev_kf.bad
+        # loop closing runs OUTSIDE the map lock: detection + Sim3 lock
+        # fine-grained around host map reads and release across device
+        # dispatches; only correct() holds the lock throughout (the
+        # reference's dedicated LoopClosing thread gives it the same
+        # non-blocking property, System.cc:173-174)
+        if kf_alive:
+            if self.loop_closer is not None and \
+                    self.config.loop_closing_active:
+                with span(self.profiler, "map.loop_closing"):
+                    self.loop_closer.process(prev_kf)
+            else:
+                with self._map_lock:
                     self.keyframe_db.add(prev_kf)
 
     def _mapping_worker(self):
@@ -274,9 +284,19 @@ class System:
                 and self._frame_count - self._last_human_ba_frame >=
                 self.tracking.max_frames
                 and self.map.long_trajectories()):
-            with span(self.profiler, "human_ba"):
-                self.human_ba(self.map, self.tracking.last_kf_id)
-            self._last_human_ba_frame = self._frame_count
+            if self._map_queue is not None:
+                # online: overlap the dense reduced solve with tracking
+                # (assembly/write-back lock the map; the solve runs
+                # unlocked in its own thread).  A still-running BA skips
+                # this cadence tick and retries next frame.
+                if self.human_ba.launch(self.tracking.last_kf_id):
+                    self._last_human_ba_frame = self._frame_count
+            else:
+                # offline (paper configuration): synchronous and
+                # deterministic, like OffLineTrack (Tracking.cc:705-717)
+                with span(self.profiler, "human_ba"):
+                    self.human_ba(self.map, self.tracking.last_kf_id)
+                self._last_human_ba_frame = self._frame_count
 
         self._frame_count += 1
         dt = time.perf_counter() - t0
@@ -380,6 +400,8 @@ class System:
         if self._map_queue is not None:
             self._map_queue.put(None)
             self._map_thread.join(timeout=30)
+        if self.human_ba is not None:
+            self.human_ba.join()      # drain any background human BA
         if self.global_ba is not None:
             self.global_ba.join()     # drain any background GBA thread
         if self.viewer is not None:

@@ -109,6 +109,27 @@ def test_human_pipeline_builds_trajectories():
     slam.shutdown()
 
 
+def test_reference_exact_preset_tracks(vo_frames):
+    """The drop-in-exact preset (velocity_damping=1.0 raw constant-velocity
+    extrapolation, Tracking.cc:466-469; thRefRatio keyframe schedule,
+    Tracking.cc:1091) must still track a real sequence end-to-end — guards
+    the preset against rot (VERDICT r4 #9)."""
+    cfg = small_config().reference_exact()
+    assert cfg.optimizer.velocity_damping == 1.0
+    assert cfg.optimizer.kf_ref_schedule == "reference"
+    slam = System(cfg)
+    gt = []
+    for data, Rwc, twc in vo_frames:
+        slam.track_stereo(data)
+        gt.append(twc)
+    assert slam.tracking.state.name == "OK"
+    assert slam.map.n_keyframes() >= 2
+    ts, _, twc_e = slam.tracking.trajectory_tum()
+    err = ate_rmse(twc_e, np.asarray(gt)[: len(twc_e)])
+    assert err < 2.0, err
+    slam.shutdown()
+
+
 def test_reset_on_early_loss(vo_frames):
     """Feeding garbage after init must reset and re-initialize cleanly."""
     cfg = small_config()
