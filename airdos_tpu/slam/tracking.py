@@ -85,6 +85,7 @@ class Tracking:
         self.profiler = None             # set by System (fine-grained spans)
         self.keyframe_db = None          # set by System once the vocab exists
         self._full_step = None           # lazily-built fused tracking program
+        self._last_step_args = None      # last dispatch args (for MFU calc)
         self._sharded_pnp = None         # lazily-built multi-chip RANSAC
         self._ones_mask_dev = jnp.ones((self.height, self.width), jnp.uint8)
         self.last_frame: Optional[Frame] = None
@@ -286,6 +287,26 @@ class Tracking:
             valid[:n_c] = True
         return ids, xw, desc, valid, normal, maxd, mind
 
+    def fused_cost_analysis(self):
+        """XLA cost analysis of the compiled fused tracking step (flops /
+        bytes accessed), from the last dispatch's argument shapes.  Lowering
+        hits the jit cache, so this is cheap after the first frame; used by
+        bench.py to report an MFU estimate alongside the stage timings."""
+        if self._full_step is None or self._last_step_args is None:
+            return None
+        step_args, want_disp = self._last_step_args
+        try:
+            c = self._full_step.lower(
+                *step_args, with_disparity=want_disp).compile().cost_analysis()
+        except Exception:
+            return None
+        if isinstance(c, (list, tuple)):          # older jax: per-device list
+            c = c[0] if c else None
+        if not c:
+            return None
+        return {"flops": float(c.get("flops", 0.0)),
+                "bytes_accessed": float(c.get("bytes accessed", 0.0))}
+
     def _track_fast(self, data):
         """One device dispatch for front-end + motion + local-map tracking."""
         lf = self.last_frame
@@ -358,14 +379,16 @@ class Tracking:
             cand_f32[:, 8] = valid_c
 
         with span(self.profiler, "track.step"):
-            res = self._full_step(imL, imR, maskL, maskR,
-                                  jnp.asarray(torso_px),
-                                  jnp.asarray(prior_pack),
-                                  jnp.asarray(last_f32), jnp.asarray(desc_p),
-                                  jnp.asarray(cand_f32), jnp.asarray(desc_c),
-                                  forward, backward,
-                                  with_disparity=want_disp)
+            step_args = (imL, imR, maskL, maskR,
+                         jnp.asarray(torso_px),
+                         jnp.asarray(prior_pack),
+                         jnp.asarray(last_f32), jnp.asarray(desc_p),
+                         jnp.asarray(cand_f32), jnp.asarray(desc_c),
+                         forward, backward)
+            res = self._full_step(*step_args, with_disparity=want_disp)
             host = jax.device_get(res)
+        # keep references (not copies) for fused_cost_analysis()
+        self._last_step_args = (step_args, want_disp)
         frame = Frame.from_track_result(self.frontend, data, host)
         sc = host.scalars
         frame.set_pose(sc[:9].reshape(3, 3), sc[9:12])

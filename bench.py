@@ -5,20 +5,36 @@ Sections, one JSON line:
 1. tracking_fps        — static stereo pipeline (frame front-end + matching
                          + pose optimization + keyframing/local BA) on the
                          TartanAir-Shibuya camera geometry (640x360,
-                         fx 772.5, 1000 ORB features, 8 levels).  Median
-                         over BENCH_REPS independent runs.  Runs ONLINE
-                         (tracking || mapping threads, the reference's
-                         static architecture, System.cc:87-96); the human
+                         fx 772.5) at the REFERENCE'S OWN feature budget:
+                         1500 ORB features, 8 levels, scale 1.2
+                         (tartanair.yaml:38-44).  Median over BENCH_REPS
+                         independent runs.  Runs ONLINE (tracking ||
+                         mapping threads, the reference's static
+                         architecture, System.cc:87-96); the human
                          sections run offline (the paper configuration).
 2. tracking_fps_human  — the flagship dynamic pipeline: masked extraction,
                          human stereo association, human-trajectory BA.
+                         Measured ONLINE like the static section: mapping
+                         runs in its worker thread and the human BA solve
+                         runs in its own background thread under the
+                         StaticLocalBA lock discipline, so the tracking
+                         thread never blocks on the dense reduced solve.
 3. ate_rmse_static / ate_rmse_human — the AirDOS headline: on a crowded
                          dynamic scene (textured moving humans rendered
                          into the images), the masked+human-BA pipeline vs
                          the static pipeline that ingests the moving
                          texture.  The AirDOS claim is human < static.
+                         Measured OFFLINE (synchronous, deterministic —
+                         the paper configuration, OffLineTrack
+                         Tracking.cc:705-717), one run each.
 4. local_ba_iters_per_sec / gba_200kf_wall_s — solver throughput
                          (BASELINE.md targets table).
+5. stages              — median ms per pipeline stage (front-end fused
+                         step, host prep/pack/assoc, keyframing, mapping
+                         pipeline, human BA), the reference's per-stage
+                         chrono discipline (stereo_human.cc:148-150,
+                         Tracking.cc:713-715), plus an MFU estimate of the
+                         fused tracking step from XLA cost analysis.
 
 Baseline: the reference's real-time budget on this dataset is 2.0 fps
 (Camera.fps, tartanair.yaml:22; BASELINE.md) — the reference repo records
@@ -48,8 +64,8 @@ def _cfg(human: bool):
     from airdos_tpu.io.synthetic import default_camera
     cfg = SlamConfig()
     cfg.camera = default_camera()          # TartanAir-Shibuya geometry
-    cfg.orb.n_features = 1000
-    cfg.orb.n_levels = 8
+    cfg.orb.n_features = 1500              # the reference's own budget
+    cfg.orb.n_levels = 8                   # (tartanair.yaml:38-44)
     cfg.human.ok = human
     cfg.human.is_seg = human
     cfg.system.is_mask = human
@@ -81,6 +97,8 @@ def _run(cfg, frames, gts, n_warm):
         if i + 1 < len(frames):
             slam.prefetch(frames[i + 1])   # overlap upload with compute
         fn(frames[i])
+    # per-stage medians over TIMED frames only (drop compile-bearing warmup)
+    slam.profiler.stages.clear()
     t0 = time.perf_counter()
     for i in range(n_warm, len(frames)):
         if i + 1 < len(frames):
@@ -88,23 +106,86 @@ def _run(cfg, frames, gts, n_warm):
         fn(frames[i])
     dt = time.perf_counter() - t0
     fps = (len(frames) - n_warm) / dt
+    cost = slam.tracking.fused_cost_analysis()
     # drain the mapping thread (online mode) before reading the trajectory
     slam.shutdown()
+    stages = slam.profiler.report()
     ts, Rwc, twc = slam.tracking.trajectory_tum()
     ate = float(ate_rmse(twc, np.asarray(gts)[: len(twc)])) if len(twc) >= 5 \
         else float("nan")
-    return fps, ate
+    return fps, ate, stages, cost
 
 
 def _run_reps(cfg_fn, frames, gts, n_warm, reps=BENCH_REPS):
     """Median fps / ATE over independent runs (compile amortized by the
-    in-process + persistent XLA caches after the first)."""
+    in-process + persistent XLA caches after the first).  Stage medians
+    and the fused-step cost analysis come from the LAST rep (warm)."""
     fpss, ates = [], []
+    stages = cost = None
     for _ in range(reps):
-        fps, ate = _run(cfg_fn(), frames, gts, n_warm)
+        fps, ate, stages, cost = _run(cfg_fn(), frames, gts, n_warm)
         fpss.append(fps)
         ates.append(ate)
-    return float(np.median(fpss)), float(np.median(ates))
+    return float(np.median(fpss)), float(np.median(ates)), stages, cost
+
+
+_PEAK_FLOPS = {
+    # bf16 MXU peak per chip (the fused step's matmuls run through the MXU;
+    # f32 portions make the reported MFU an upper-bound-denominator, i.e. a
+    # conservative utilization estimate)
+    "TPU v4": 275e12,
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def _stage_summary(stages_static, stages_human_on, stages_human_off, cost):
+    """Median ms per stage + MFU estimate of the fused tracking step."""
+    out = {}
+
+    def med_ms(rep, key):
+        v = rep.get(key) if rep else None
+        return round(v["median_s"] * 1e3, 2) if v else None
+
+    for key, label in (("track.step", "fused_step_ms"),
+                       ("track.prep", "host_prep_ms"),
+                       ("track.pack", "host_pack_ms"),
+                       ("track.assoc", "host_assoc_ms"),
+                       ("track.kf", "keyframe_ms"),
+                       ("track", "track_total_ms"),
+                       ("map.triangulate", "map_triangulate_ms"),
+                       ("map.fuse", "map_fuse_ms"),
+                       ("map.static_ba", "map_static_ba_ms"),
+                       ("map.cull_points", "map_cull_points_ms"),
+                       ("map.cull_kfs", "map_cull_kfs_ms")):
+        v = med_ms(stages_static, key)
+        if v is not None:
+            out[label] = v
+    hv = med_ms(stages_human_off, "human_ba")
+    if hv is not None:
+        out["human_ba_ms"] = hv            # synchronous (offline) solve
+    hv = med_ms(stages_human_on, "track.step")
+    if hv is not None:
+        out["fused_step_human_ms"] = hv
+    hv = med_ms(stages_human_on, "track")
+    if hv is not None:
+        out["track_total_human_ms"] = hv
+    if cost and cost.get("flops") and stages_static and \
+            stages_static.get("track.step"):
+        import jax
+        kind = jax.devices()[0].device_kind
+        peak = next((v for k, v in _PEAK_FLOPS.items() if k in kind), 197e12)
+        step_s = stages_static["track.step"]["median_s"]
+        out["fused_step_gflops"] = round(cost["flops"] / 1e9, 2)
+        out["fused_step_mfu_pct"] = round(
+            100.0 * cost["flops"] / step_s / peak, 3)
+        if cost.get("bytes_accessed"):
+            # HBM-bandwidth view: v5e ~819 GB/s
+            out["fused_step_gbytes"] = round(cost["bytes_accessed"] / 1e9, 3)
+    return out
 
 
 def _bench_local_ba():
@@ -222,12 +303,14 @@ def main():
         c = _cfg(human=False)
         c.system.is_offline = False
         return c
-    fps_static, ate_clean = _run_reps(cfg_static_online, frames,
-                                      twc, n_warm)
+    fps_static, ate_clean, stages_static, cost = _run_reps(
+        cfg_static_online, frames, twc, n_warm)
 
     # --- sections 2+3: crowded dynamic scene --------------------------
+    # >= 20 timed frames for the human fps statistic (a single
+    # keyframe-cadence hiccup must not dominate the median)
     n_warm_h = 7
-    n_total_h = n_warm_h + 7
+    n_total_h = n_warm_h + 20
     # crowd=True: slow coherently-drifting humans whose ~1-2 px/frame flow
     # stays inside the pose optimizer's chi-square gate — the regime where
     # an unmasked pipeline accumulates bias instead of rejecting outliers
@@ -237,8 +320,20 @@ def main():
     Rwc, twc = world_h.trajectory(n_total_h, 0.1, yaw_rate=0.005)
     frames_h = [world_h.frame(i, Rwc[i], twc[i], i * 0.1, with_humans=True)
                 for i in range(n_total_h)]
-    fps_human, ate_human = _run_reps(lambda: _cfg(human=True), frames_h,
-                                     twc, n_warm_h)
+    # fps: ONLINE, like the static section (mapping worker + background
+    # human-BA thread — the architecture the reference gets from its
+    # LocalMapping thread, System.cc:87-96)
+    def cfg_human_online():
+        c = _cfg(human=True)
+        c.system.is_offline = False
+        return c
+    fps_human, _, stages_human_on, _ = _run_reps(
+        cfg_human_online, frames_h, twc, n_warm_h)
+
+    # ATE comparison: OFFLINE, synchronous and deterministic (the paper
+    # configuration) — one run each side, same frames
+    _, ate_human, stages_human_off, _ = _run_reps(
+        lambda: _cfg(human=True), frames_h, twc, n_warm_h, reps=1)
 
     # static pipeline, no masks, same dynamic frames: moving-human texture
     # leaks into the static matcher
@@ -247,8 +342,8 @@ def main():
         c.system.is_mask = False
         c.camera.fps = 5.0
         return c
-    fps_polluted, ate_static = _run_reps(cfg_polluted, frames_h, twc,
-                                         n_warm_h)
+    _, ate_static, _, _ = _run_reps(cfg_polluted, frames_h, twc,
+                                    n_warm_h, reps=1)
 
     # --- section 4: solver throughput ---------------------------------
     lba_ips = _bench_local_ba()
@@ -266,6 +361,9 @@ def main():
         "ate_rmse_human": round(ate_human, 4),
         "local_ba_iters_per_sec": round(lba_ips, 1),
         "gba_200kf_wall_s": round(gba_wall, 3),
+        "n_features": 1500,
+        "stages": _stage_summary(stages_static, stages_human_on,
+                                 stages_human_off, cost),
     }))
 
 
