@@ -125,6 +125,18 @@ def pad_edge_table(e_cam, e_pt, e_obs, e_info, E: int):
     return c, p, o, w, v, n_e
 
 
+def _steady_start(n_features: int, mult: float, lo: int, cap: int) -> int:
+    """Bucket starting size that reaches the steady-state shape of a
+    full-budget scene on the FIRST call: local-window populations scale
+    with the ORB feature budget, so sizing the start from n_features keeps
+    bucket-growth recompiles out of the running pipeline (a mid-run grow
+    costs a full XLA compile on the mapping worker — measured as 3-10 s
+    tracking stalls at the 1500-feature budget)."""
+    n = max(lo, int(mult * n_features))
+    p2 = 1 << (n - 1).bit_length()
+    return int(min(cap, p2))
+
+
 class _StickyBucket:
     """Grow-only power-of-two padding: each driver compiles at most a couple
     of jit variants per run instead of one per problem size, and never
@@ -160,10 +172,17 @@ class StaticLocalBA:
         self.max_cams = 128         # hard ceiling, reference has none
         self.P = dev.max_local_points
         self.E = dev.max_ba_edges
-        self._cb = _StickyBucket(dev.max_local_kfs + dev.max_fixed_kfs,
-                                 self.max_cams)
-        self._pb = _StickyBucket(1024, self.P)
-        self._eb = _StickyBucket(4096, self.E)
+        # start the camera bucket at 2x the configured window: mature maps
+        # anchor the window with more fixed observers than max_fixed_kfs
+        # (the budget is max_cams - n_local, reference Optimizer.cc takes
+        # ALL non-local observers), and the first growth otherwise lands a
+        # recompile mid-run
+        self._cb = _StickyBucket(
+            min(2 * (dev.max_local_kfs + dev.max_fixed_kfs), self.max_cams),
+            self.max_cams)
+        nf = config.orb.n_features
+        self._pb = _StickyBucket(_steady_start(nf, 1.5, 1024, self.P), self.P)
+        self._eb = _StickyBucket(_steady_start(nf, 6.0, 4096, self.E), self.E)
         if dev.n_chips > 1:
             from airdos_tpu.parallel.sharded_ba import (
                 make_mesh, sharded_local_bundle_adjust)
@@ -439,7 +458,8 @@ class Fuser:
                      in_axes=(None, None, 0, None, None, None)
                      + (0,) * 8 + (None,) * 12))
         self.max_targets = 8
-        self._pb = _StickyBucket(1024, self.P)
+        self._pb = _StickyBucket(
+            _steady_start(config.orb.n_features, 1.5, 1024, self.P), self.P)
         self.n_slots = config.device.max_keypoints
         self._warmed = set()
 
@@ -721,8 +741,9 @@ class HumanLocalBA:
         self.inv_sigma2 = (1.0 / extractor.sigma2).astype(np.float32)
         dev = config.device
         self.max_cams = 128
-        self._cb = _StickyBucket(dev.max_local_kfs + dev.max_fixed_kfs,
-                                 self.max_cams)
+        self._cb = _StickyBucket(
+            min(2 * (dev.max_local_kfs + dev.max_fixed_kfs), self.max_cams),
+            self.max_cams)
         self.P = dev.max_local_points
         self.E = dev.max_ba_edges
         self.T = dev.max_trajectories

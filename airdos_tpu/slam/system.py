@@ -64,6 +64,12 @@ class System:
             self._map_thread = threading.Thread(
                 target=self._mapping_worker, daemon=True)
             self._map_thread.start()
+            # keyframe-insertion gating (reference AcceptKeyFrames /
+            # KeyframesInQueue, Tracking.cc:1101-1121): idle = no queued
+            # AND no in-flight keyframe (unfinished_tasks counts both)
+            self.tracking.mapping_idle_fn = \
+                lambda: self._map_queue.unfinished_tasks == 0
+            self.tracking.mapping_queue_len_fn = self._map_queue.qsize
         # place recognition: load a vocabulary now, or train a scene
         # vocabulary lazily from the first keyframe's descriptors
         self.vocabulary = None
@@ -128,6 +134,7 @@ class System:
             if self._map_queue is not None:
                 while not self._map_queue.empty():
                     self._map_queue.get_nowait()
+                    self._map_queue.task_done()
             self.tracking._reset()
             if self.keyframe_db is not None:
                 self.keyframe_db.clear()
@@ -228,12 +235,17 @@ class System:
         while True:
             kf = self._map_queue.get()
             if kf is None:
+                self._map_queue.task_done()
                 return
             try:
                 self._mapping_pipeline(kf)
             except Exception:
                 import traceback
                 traceback.print_exc()
+            finally:
+                # marks the keyframe fully processed — until then the
+                # tracker sees mapping as busy (AcceptKeyFrames == false)
+                self._map_queue.task_done()
 
     def _to_gray(self, img: np.ndarray) -> np.ndarray:
         """Color -> grayscale honoring Camera.RGB channel order (reference

@@ -67,6 +67,11 @@ class Tracking:
         self.th_depth = config.th_depth_m
         self.min_frames = 0
         self.max_frames = max(1, int(round(cam.fps)))
+        # online mode wires these to the mapping worker's queue state
+        # (reference LocalMapping::AcceptKeyFrames / KeyframesInQueue);
+        # None = synchronous offline pipeline, always idle
+        self.mapping_idle_fn = None
+        self.mapping_queue_len_fn = None
 
         orb = config.orb
         self.scale_factors = np.asarray(
@@ -960,12 +965,28 @@ class Tracking:
         else:
             th_ref = 0.75
         frames_since = frame.index - self._kf_frame_index()
+        # mapping_idle: in online mode, whether the LocalMapping worker has
+        # drained its queue (reference LocalMapping::AcceptKeyFrames).  The
+        # offline pipeline is synchronous, so mapping is always idle there
+        # and the schedule is unchanged.
+        idle = self.mapping_idle_fn() if self.mapping_idle_fn else True
         c1a = frames_since >= self.max_frames
-        c1b = frames_since >= self.min_frames
+        # c1b requires Local Mapping idle (Tracking.cc:1101) — without the
+        # gate, a backed-up mapping worker keeps receiving keyframes and
+        # the tracking thread stalls behind its device dispatches
+        c1b = frames_since >= self.min_frames and idle
         c1c = self.n_inliers < ref_matches * 0.25 or need_close
         c2 = (self.n_inliers < ref_matches * th_ref or need_close) and \
             self.n_inliers > 15
-        return (c1a or c1b or c1c) and c2
+        if not ((c1a or c1b or c1c) and c2):
+            return False
+        if idle:
+            return True
+        # mapping busy: stereo inserts only while the queue is short
+        # (Tracking.cc:1112-1121 KeyframesInQueue()<3)
+        qlen = self.mapping_queue_len_fn() if self.mapping_queue_len_fn \
+            else 0
+        return qlen < 3
 
     def _kf_frame_index(self) -> int:
         kf = self.map.kfs.get(self.last_kf_id)

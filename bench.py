@@ -285,8 +285,10 @@ def main():
     # 20 timed frames for the fps headline; speed scaled down so the
     # longer run covers the same ~0.7 m stable-tracking envelope the
     # 14-frame run did (drift outside it would contaminate the ATE stat,
-    # not the fps)
-    n_warm, n_bench = 4, 20
+    # not the fps).  8 warm frames cover the compile-bearing first
+    # keyframes AND the first mapping-pipeline pass (triangulate + fuse +
+    # local BA reach their steady bucket shapes by then)
+    n_warm, n_bench = 8, 20
     n_total = n_warm + n_bench
 
     # --- section 1: static throughput + clean-scene accuracy ----------
