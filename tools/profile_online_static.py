@@ -27,18 +27,22 @@ for i in range(n_warm):
     slam.track_stereo(frames[i])
 slam.profiler.stages.clear()
 t0 = time.perf_counter()
-wall = []
+wall, pref = [], []
 for i in range(n_warm, len(frames)):
+    tp = time.perf_counter()
     if i + 1 < len(frames):
         slam.prefetch(frames[i + 1])
+    pref.append(time.perf_counter() - tp)
     tf = time.perf_counter()
     slam.track_stereo(frames[i])
     wall.append(time.perf_counter() - tf)
 dt = time.perf_counter() - t0
 print(f"fps {(len(frames) - n_warm) / dt:.2f}  "
       f"wall/frame median {np.median(wall)*1e3:.1f} ms  "
-      f"max {max(wall)*1e3:.1f} ms")
+      f"max {max(wall)*1e3:.1f} ms  "
+      f"prefetch median {np.median(pref)*1e3:.1f} ms")
 print("per-frame ms:", " ".join(f"{w*1e3:.0f}" for w in wall))
+print("prefetch  ms:", " ".join(f"{w*1e3:.0f}" for w in pref))
 slam.shutdown()
 print(slam.profiler.summary())
 print("KFs created:", slam.map.next_kf_id, "alive:", slam.map.n_keyframes())
