@@ -22,6 +22,7 @@ from airdos_tpu.matching.fuse import fuse_candidates
 from airdos_tpu.slam.map import (BODY1, BODY2, KeyFrame, N_PARTS, SlamMap,
                                  TH_LONG_TRAJECTORY)
 from airdos_tpu.solvers.local_ba import local_bundle_adjust
+from airdos_tpu.utils.gate import gate_wait
 from airdos_tpu.utils.obs import span
 
 
@@ -137,6 +138,33 @@ def _steady_start(n_features: int, mult: float, lo: int, cap: int) -> int:
     return int(min(cap, p2))
 
 
+def _sync(res):
+    """Block until a dispatched device program has finished.
+
+    The background human-BA worker calls this between CHUNKED dispatches
+    so the tracking thread's ~20 ms fused step never queues behind the
+    full 100 ms+ dense reduced solve — a single chip has one FIFO compute
+    stream, so the only way to bound tracking's queueing delay behind a
+    LONG program is to split it and yield between the pieces.
+    block_until_ready can return early through the tunneled runtime, so
+    force a one-element host read of the first output buffer instead."""
+    leaf = jax.tree_util.tree_leaves(res)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
+# Online-mode LM chunk schedule for the background human BA: the
+# reference protocol's 5 Huber + 10 plain iterations (Optimizer.cc:701-704)
+# split into three ~equal device programs.  Inlier gating re-runs at each
+# chunk boundary (each call classifies against the current state before
+# its plain phase) — a deviation from the single-dispatch protocol that
+# applies ONLY on the online path; offline keeps the reference-exact
+# single dispatch.  The short static-mapping programs (~50 ms) are NOT
+# chunked — splitting them tripled their wall time through the tunnel
+# (a chunk boundary costs a full host round trip); they instead defer to
+# the tracking thread via TrackingGate (utils/gate.py).
+_LM_CHUNKS = ((5, 0), (0, 5), (0, 5))
+
+
 class _StickyBucket:
     """Grow-only power-of-two padding: each driver compiles at most a couple
     of jit variants per run instead of one per problem size, and never
@@ -188,7 +216,11 @@ class StaticLocalBA:
                 make_mesh, sharded_local_bundle_adjust)
             self._jit = sharded_local_bundle_adjust(make_mesh(dev.n_chips))
         else:
-            self._jit = jax.jit(local_bundle_adjust)
+            self._jit = jax.jit(local_bundle_adjust,
+                                static_argnames=("iters1", "iters2"))
+        # online: installed by System — defer enqueuing while the tracking
+        # thread is inside its per-frame device window (utils/gate.py)
+        self.gate = None
 
     def __call__(self, kf: KeyFrame):
         import contextlib
@@ -256,13 +288,15 @@ class StaticLocalBA:
         (cam_R, cam_t, cam_fixed, pts, pvalid,
          e_cam, e_pt, e_obs, e_info, e_valid) = problem["arrays"]
         with span(self.profiler, "ba.solve"):
-            res = self._jit(jnp.asarray(cam_R), jnp.asarray(cam_t),
-                            jnp.asarray(cam_fixed),
-                            jnp.asarray(pts), jnp.asarray(pvalid),
-                            jnp.asarray(e_cam), jnp.asarray(e_pt),
-                            jnp.asarray(e_obs), jnp.asarray(e_info),
-                            jnp.asarray(e_valid),
-                            self.fx, self.fy, self.cx, self.cy, self.bf)
+            tail = (jnp.asarray(e_cam), jnp.asarray(e_pt),
+                    jnp.asarray(e_obs), jnp.asarray(e_info),
+                    jnp.asarray(e_valid),
+                    self.fx, self.fy, self.cx, self.cy, self.bf)
+            R, t, ps = (jnp.asarray(cam_R), jnp.asarray(cam_t),
+                        jnp.asarray(pts))
+            cfx, pv = jnp.asarray(cam_fixed), jnp.asarray(pvalid)
+            gate_wait(self.gate)          # tracking dispatches first
+            res = self._jit(R, t, cfx, ps, pv, *tail)
             return jax.device_get(
                 (res.R, res.t, res.points, res.edge_inlier))
 
@@ -334,6 +368,7 @@ class Triangulator:
         self._jit = jax.jit(
             jax.vmap(triangulate_pair,
                      in_axes=(None,) * 8 + (0,) * 8 + (None,) * 9))
+        self.gate = None          # online: see utils/gate.py
 
     def baseline_ok(self, kf: KeyFrame, nkf: KeyFrame) -> bool:
         """Stereo short-baseline gate: reject neighbors closer than the
@@ -352,6 +387,7 @@ class Triangulator:
         if problem is None:
             return 0
         neighbors, args = problem
+        gate_wait(self.gate)          # tracking dispatches first
         res = self._jit(*args)
         got = jax.device_get((res.valid, res.idx2, res.points))
         with lock:
@@ -462,6 +498,7 @@ class Fuser:
             _steady_start(config.orb.n_features, 1.5, 1024, self.P), self.P)
         self.n_slots = config.device.max_keypoints
         self._warmed = set()
+        self.gate = None          # online: see utils/gate.py
 
     def warmup(self, n_points: int):
         """Compile the single-target fuse program (the SearchAndFuse /
@@ -551,21 +588,6 @@ class Fuser:
                 touched.append(pid)
         m.update_point_descriptors(touched)
         m.update_points_normal_depth(touched)
-
-    def _fuse_neighborhood(self, kf: KeyFrame, targets: List[KeyFrame]):
-        """Both SearchInNeighbors directions (reference LocalMapping.cc:
-        SearchInNeighbors) in ONE device dispatch: the union of the current
-        KF's points and the neighbors' points forms a shared candidate
-        table; direction-1 rows (fuse kf's points into each neighbor) and
-        the direction-2 row (fuse neighbors' points into kf) select their
-        candidates through per-row valid masks."""
-        problem = self._assemble_neighborhood(kf, targets)
-        if problem is None:
-            return
-        ids, n, args = problem
-        res = self._jit_batch(*args)
-        feat_idx_b = np.asarray(res.feat_idx)
-        self._write_back_neighborhood(kf, targets, ids, n, feat_idx_b)
 
     def _assemble_neighborhood(self, kf: KeyFrame, targets: List[KeyFrame]):
         m = self.map
@@ -681,7 +703,9 @@ class Fuser:
         if problem is None:
             return
         ids, n, args = problem
-        res = self._jit_batch(*args)                 # lock released
+        # lock released for the device work
+        gate_wait(self.gate)          # tracking dispatches first
+        res = self._jit_batch(*args)
         feat_idx_b = np.asarray(res.feat_idx)
         with lock:
             self._write_back_neighborhood(kf, targets, ids, n, feat_idx_b)
@@ -765,9 +789,14 @@ class HumanLocalBA:
             from airdos_tpu.parallel.sharded_ba import (
                 make_mesh, sharded_human_bundle_adjust)
             self._jit = sharded_human_bundle_adjust(make_mesh(dev.n_chips))
+            self._chunked = False
         else:
             self._jit = jax.jit(human_bundle_adjust,
                                 static_argnames=("iters1", "iters2"))
+            # online: the background solve yields the device to the
+            # tracking thread between bounded chunks (see _LM_CHUNKS)
+            self._chunked = not config.system.is_offline
+        self.gate = None          # online: see utils/gate.py
 
     def __call__(self, slam_map: SlamMap, current_kf_id: int):
         import contextlib
@@ -946,22 +975,44 @@ class HumanLocalBA:
          seg_len, seg_free, seg_edge_valid,
          mot_R, mot_t, traj_valid, pose_dt, motion_edge_valid) = \
             problem["arrays"]
-        res = self._jit(
-            jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(cam_fixed),
-            jnp.asarray(pts), jnp.asarray(pvalid),
-            jnp.asarray(es_cam), jnp.asarray(es_pt), jnp.asarray(es_obs),
-            jnp.asarray(es_info), jnp.asarray(es_valid),
-            jnp.asarray(joints), jnp.asarray(joint_exists),
-            jnp.asarray(jo_cam), jnp.asarray(jo_obs), jnp.asarray(jo_valid),
-            jnp.asarray(seg_len), jnp.asarray(seg_free),
-            jnp.asarray(seg_edge_valid),
-            jnp.asarray(mot_R), jnp.asarray(mot_t), jnp.asarray(traj_valid),
-            jnp.asarray(pose_dt), jnp.asarray(motion_edge_valid),
-            opt.sigma_static, opt.sigma_human, opt.sigma_rigidity,
-            opt.sigma_motion,
-            opt.th_huber_motion, opt.th_ransac_motion, opt.th_ransac_rigidity,
-            self.fx, self.fy, self.cx, self.cy, self.bf,
-            opt.is_huber)
+        state = [jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(pts),
+                 jnp.asarray(joints), jnp.asarray(seg_len),
+                 jnp.asarray(mot_R), jnp.asarray(mot_t)]
+        consts = (jnp.asarray(cam_fixed), jnp.asarray(pvalid),
+                  jnp.asarray(es_cam), jnp.asarray(es_pt),
+                  jnp.asarray(es_obs), jnp.asarray(es_info),
+                  jnp.asarray(es_valid), jnp.asarray(joint_exists),
+                  jnp.asarray(jo_cam), jnp.asarray(jo_obs),
+                  jnp.asarray(jo_valid), jnp.asarray(seg_free),
+                  jnp.asarray(seg_edge_valid), jnp.asarray(traj_valid),
+                  jnp.asarray(pose_dt), jnp.asarray(motion_edge_valid))
+
+        def call(st, **iters):
+            camR, camt, p, j, s, mR, mt = st
+            (cfx, pv, ec, ep, eo, ei, ev, je, jc, jo, jv, sf, sev, tv,
+             pdt, mev) = consts
+            return self._jit(
+                camR, camt, cfx, p, pv, ec, ep, eo, ei, ev,
+                j, je, jc, jo, jv, s, sf, sev, mR, mt, tv, pdt, mev,
+                opt.sigma_static, opt.sigma_human, opt.sigma_rigidity,
+                opt.sigma_motion,
+                opt.th_huber_motion, opt.th_ransac_motion,
+                opt.th_ransac_rigidity,
+                self.fx, self.fy, self.cx, self.cy, self.bf,
+                opt.is_huber, **iters)
+
+        if not self._chunked:
+            gate_wait(self.gate)      # tracking dispatches first
+            res = call(state)
+        else:
+            res = None
+            for i1, i2 in _LM_CHUNKS:
+                if res is not None:
+                    _sync(res)        # bound the in-flight program
+                    state = [res.cam_R, res.cam_t, res.points, res.joints,
+                             res.seg_len, res.mot_R, res.mot_t]
+                gate_wait(self.gate)  # tracking dispatches first
+                res = call(state, iters1=i1, iters2=i2)
         # ONE batched pytree download: serial np.asarray(res.field) pays a
         # full ~30 ms tunnel round trip PER FIELD (11 fields = ~300 ms)
         return jax.device_get(res)
@@ -1068,6 +1119,7 @@ class GlobalBA:
         self._pb = _StickyBucket(1024, max_points)
         self._eb = _StickyBucket(4096, max_edges)
         self._n_chips = config.device.n_chips
+        self.gate = None          # online: see utils/gate.py
         if self._n_chips > 1:
             from airdos_tpu.parallel.sharded_ba import (
                 make_mesh, sharded_global_bundle_adjust)
@@ -1212,8 +1264,14 @@ class GlobalBA:
                 break
             i1 = chunk // 2 if ci == 0 else 0    # Huber phase only first
             i2 = chunk - i1
+            gate_wait(self.gate)      # tracking dispatches first
             res = self._chunk_fn(i1, i2)(R, t, cfx, ps, pv, *args_tail)
             R, t, ps = res.R, res.t, res.points
+            # retire the chunk before enqueuing the next: JAX dispatches
+            # eagerly, so without this every chunk stacks up in the device
+            # FIFO at once — the abort check above never fires mid-solve
+            # and the tracking thread queues behind the WHOLE solve
+            _sync(res)
         return res
 
     def _chunk_fn(self, i1: int, i2: int, cg_iters: int = 48):

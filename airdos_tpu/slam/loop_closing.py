@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from airdos_tpu.config import SlamConfig
+from airdos_tpu.utils.gate import gate_wait
 from airdos_tpu.matching.bow_match import match_by_bow
 from airdos_tpu.matching.projection import match_local_points
 from airdos_tpu.matching.sim3_match import match_by_sim3
@@ -68,6 +69,7 @@ class LoopCloser:
         self.n_levels = config.orb.n_levels
         self.width, self.height = cam.width, cam.height
         self.rng = np.random.default_rng(0)
+        self.gate = None          # online: see utils/gate.py
         self.n_loops_closed = 0
         # sticky-bucket shapes for the essential-graph solve: repeat
         # closures on a growing map reuse the compiled program instead of
@@ -134,6 +136,7 @@ class LoopCloser:
             self.db.ensure_bow(ckf)
         # feature arrays (descriptors, BoW nodes, angles) are immutable
         # after KF construction — the match dispatch needs no lock
+        gate_wait(self.gate)          # tracking dispatches first
         m = self._jit_bow(jnp.asarray(kf.desc32), jnp.asarray(kf.feat_nodes),
                           jnp.asarray(kf.valid), jnp.asarray(kf.angle),
                           jnp.asarray(ckf.desc32), jnp.asarray(ckf.feat_nodes),
@@ -246,6 +249,7 @@ class LoopCloser:
         # transform: KF2 points -> cam1 via S12; KF1 points -> cam2 via S21
         x2_in_c1 = s12 * (x2c @ R12.T) + t12
         x1_in_c2 = ((x1c - t12) @ R12) / s12
+        gate_wait(self.gate)          # tracking dispatches first
         m = self._jit_sim3_match(
             jnp.asarray(x2_in_c1), jnp.asarray(val2), jnp.asarray(desc2),
             jnp.asarray(maxd2),
@@ -314,6 +318,7 @@ class LoopCloser:
         taken = np.zeros(kf.n_slots, bool)
         for fid in matches:
             taken[fid] = True
+        gate_wait(self.gate)          # tracking dispatches first
         out = self._jit_proj(
             jnp.asarray(xw), jnp.asarray(desc), jnp.ones(n, bool),
             jnp.asarray(normal), jnp.asarray(maxd), jnp.asarray(mind),

@@ -70,6 +70,17 @@ class System:
             self.tracking.mapping_idle_fn = \
                 lambda: self._map_queue.unfinished_tasks == 0
             self.tracking.mapping_queue_len_fn = self._map_queue.qsize
+            # tracking-priority device scheduling: mapping-side workers
+            # defer their dispatches while the tracking thread is inside
+            # its per-frame device window (utils/gate.py)
+            from airdos_tpu.utils.gate import TrackingGate
+            gate = TrackingGate()
+            self.tracking.device_gate = gate
+            for drv in (self.static_ba, self.global_ba,
+                        self.local_mapper.triangulator,
+                        self.local_mapper.fuser, self.human_ba):
+                if drv is not None:
+                    drv.gate = gate
         # place recognition: load a vocabulary now, or train a scene
         # vocabulary lazily from the first keyframe's descriptors
         self.vocabulary = None
@@ -110,6 +121,25 @@ class System:
     def track_stereo_human(self, data: FrameData):
         """TrackStereoHuman — stereo + dynamic-human pipeline."""
         return self._track(data)
+
+    def drain_mapping(self, timeout: float = 30.0) -> bool:
+        """Block until the mapping worker has fully processed every queued
+        keyframe (online mode; no-op offline).  Returns False on timeout.
+
+        Use this to pace a producer that can outrun real time — e.g. a
+        dataset feeder with no frame-rate cap, or a deterministic test:
+        the reference's equivalent is the stereo_human.cc main loop
+        sleeping to the dataset timestamp (Examples/Stereo/
+        stereo_human.cc:135-146), which implicitly lets LocalMapping
+        drain between frames."""
+        if self._map_queue is None:
+            return True
+        deadline = time.perf_counter() + timeout
+        while self._map_queue.unfinished_tasks:
+            if time.perf_counter() > deadline:
+                return False
+            time.sleep(0.002)
+        return True
 
     def activate_localization_mode(self):
         """Track against the frozen map; local mapping is paused and no
@@ -155,6 +185,7 @@ class System:
                                       fuser=self.local_mapper.fuser,
                                       global_ba=self.global_ba,
                                       map_lock=self._map_lock)
+        self.loop_closer.gate = self.tracking.device_gate
         for kf in self.map.kfs.values():
             if not kf.bad:
                 self.keyframe_db.add(kf)

@@ -87,6 +87,10 @@ class Tracking:
 
         import threading
         self.map_lock = threading.Lock()  # tracking <-> mapping-thread guard
+        # online: System installs a TrackingGate held across the per-frame
+        # pack -> fused-step window so mapping-side workers defer their
+        # dispatches while tracking needs the chip (utils/gate.py)
+        self.device_gate = None
         self.profiler = None             # set by System (fine-grained spans)
         self.keyframe_db = None          # set by System once the vocab exists
         self._full_step = None           # lazily-built fused tracking program
@@ -341,7 +345,15 @@ class Tracking:
             ids, xw_c, desc_c, valid_c, normal_c, maxd_c, mind_c = \
                 self._candidate_arrays(lf)
 
-        with span(self.profiler, "track.pack"):
+        import contextlib
+        gate_cm = self.device_gate if self.device_gate is not None \
+            else contextlib.nullcontext()
+        # holding the gate across the pack and step windows keeps
+        # mapping-side programs out of the device FIFO while tracking
+        # needs the chip, so the fused step runs at standalone latency
+        # (the pack->step handoff happens without yielding the GIL, so
+        # a polling worker cannot slip a dispatch between the two)
+        with gate_cm, span(self.profiler, "track.pack"):
             Rv, tv = self.velocity
             Rp = (Rv @ lf.Rcw).astype(np.float32)
             tp = (Rv @ lf.tcw + tv).astype(np.float32)
@@ -383,7 +395,7 @@ class Tracking:
             cand_f32[:, 7] = mind_c
             cand_f32[:, 8] = valid_c
 
-        with span(self.profiler, "track.step"):
+        with gate_cm, span(self.profiler, "track.step"):
             step_args = (imL, imR, maskL, maskR,
                          jnp.asarray(torso_px),
                          jnp.asarray(prior_pack),

